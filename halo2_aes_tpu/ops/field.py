@@ -1,0 +1,393 @@
+"""Prime-field arithmetic for TPU: fixed-width limb vectors + Montgomery mul.
+
+This is the foundation layer of the TPU-native halo2-style proving stack
+(role of `ff`/`halo2curves` field arithmetic in the reference dependency
+tree, see reference Cargo.lock:558-560, 779-781).
+
+Design (TPU-first):
+  * A field element is a little-endian vector of 16 limbs x 16 bits stored
+    in ``uint32`` lanes: shape ``(..., 16)``.  TPUs have no 64-bit integer
+    multiply; 16x16->32-bit products fit exactly in a uint32 lane and the
+    VPU vectorizes everything over the leading (batch) axes.
+  * Multiplication is Montgomery (R = 2^256) with a redundant-limb
+    accumulator: partial products are split into lo/hi 16-bit halves and
+    accumulated in uint32 columns (bounded < 2^23, no overflow), so carry
+    propagation happens only once at the end.
+  * All loops are static Python loops over the 16 limbs -> XLA sees a
+    fully unrolled, branch-free dataflow graph it can fuse and tile.
+  * Batch inversion uses two ``associative_scan`` cumulative products +
+    one Fermat inversion, replacing the sequential loop a CPU
+    implementation would use.
+
+Unless stated otherwise every function takes/returns values in Montgomery
+form and canonical range [0, p).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMBS = 16
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+NBITS = LIMBS * LIMB_BITS  # 256
+
+
+# ---------------------------------------------------------------------------
+# host-side helpers (python ints <-> limb arrays)
+# ---------------------------------------------------------------------------
+
+def int_to_limbs(x: int) -> np.ndarray:
+    """Python int -> uint32[16] little-endian 16-bit limbs (plain form)."""
+    assert 0 <= x < (1 << NBITS)
+    return np.array([(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(LIMBS)],
+                    dtype=np.uint32)
+
+
+def ints_to_limbs(xs) -> np.ndarray:
+    """Iterable of python ints -> uint32[n, 16]."""
+    return np.stack([int_to_limbs(int(x)) for x in xs])
+
+
+def limbs_to_int(a) -> int:
+    """uint32[16] -> python int."""
+    a = np.asarray(a, dtype=np.uint64)
+    return sum(int(a[i]) << (LIMB_BITS * i) for i in range(LIMBS))
+
+
+def limbs_to_ints(a) -> list:
+    a = np.asarray(a)
+    flat = a.reshape(-1, LIMBS)
+    return [limbs_to_int(r) for r in flat]
+
+
+# ---------------------------------------------------------------------------
+# Field specification
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """All host-precomputed constants for one prime field.
+
+    Hash/equality use only the scalar fields, so a FieldSpec can be a
+    static jit argument and an lru_cache key.  The jnp constant arrays are
+    materialized lazily per call site; numpy versions are kept here so
+    layout/keygen code can run host-side.
+    """
+
+    name: str
+    modulus: int
+    # multiplicative generator & 2-adicity (for NTT domains); 0 if unused
+    generator: int = 0
+    two_adicity: int = 0
+
+    # derived, filled in __post_init__
+    p_limbs: np.ndarray = field(init=False, repr=False, compare=False)
+    r_mod_p: int = field(init=False, compare=False)   # R mod p (Montgomery ONE)
+    r2_mod_p: int = field(init=False, compare=False)  # R^2 mod p
+    n0inv: int = field(init=False, compare=False)     # -p^-1 mod 2^16
+    one_mont: np.ndarray = field(init=False, repr=False, compare=False)
+    r2_limbs: np.ndarray = field(init=False, repr=False, compare=False)
+    p_comp_limbs: np.ndarray = field(init=False, repr=False, compare=False)
+
+    def __post_init__(self):
+        p = self.modulus
+        R = 1 << NBITS
+        object.__setattr__(self, "p_limbs", int_to_limbs(p))
+        object.__setattr__(self, "r_mod_p", R % p)
+        object.__setattr__(self, "r2_mod_p", (R * R) % p)
+        object.__setattr__(self, "n0inv", (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+        object.__setattr__(self, "one_mont", int_to_limbs(R % p))
+        object.__setattr__(self, "r2_limbs", int_to_limbs((R * R) % p))
+        object.__setattr__(self, "p_comp_limbs", int_to_limbs(R - p))
+
+    # -- host conversions ----------------------------------------------------
+    def to_mont_host(self, x: int) -> int:
+        return (x << NBITS) % self.modulus
+
+    def from_mont_host(self, x: int) -> int:
+        return (x * pow(1 << NBITS, -1, self.modulus)) % self.modulus
+
+    def encode(self, xs) -> np.ndarray:
+        """Python ints (plain) -> limb array in Montgomery form."""
+        if isinstance(xs, int):
+            return int_to_limbs(self.to_mont_host(xs % self.modulus))
+        return ints_to_limbs([self.to_mont_host(int(x) % self.modulus) for x in xs])
+
+    def decode(self, a) -> list:
+        """Limb array (Montgomery form) -> list of plain python ints."""
+        return [self.from_mont_host(v) for v in limbs_to_ints(a)]
+
+    def root_of_unity(self) -> int:
+        """Primitive 2^two_adicity-th root of unity (plain int)."""
+        assert self.two_adicity > 0
+        return pow(self.generator, (self.modulus - 1) >> self.two_adicity, self.modulus)
+
+
+# BN254 scalar field (Fr) and base field (Fq).  Same curve as the reference
+# (halo2curves bn256, reference Cargo.lock:779-781).
+FR_MODULUS = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+FQ_MODULUS = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+FR = FieldSpec("bn254_fr", FR_MODULUS, generator=7, two_adicity=28)
+FQ = FieldSpec("bn254_fq", FQ_MODULUS)
+
+
+# ---------------------------------------------------------------------------
+# core limb kernels (jnp, shape (..., 16), uint32)
+# ---------------------------------------------------------------------------
+
+_U32 = jnp.uint32
+
+
+def _mask():
+    return _U32(LIMB_MASK)
+
+
+def zeros(shape=()) -> jnp.ndarray:
+    return jnp.zeros((*shape, LIMBS), dtype=_U32)
+
+
+def _carry_norm(acc, out_limbs=LIMBS):
+    """Sequentially propagate carries: redundant limbs (<2^32) -> canonical
+    16-bit limbs.  ``acc`` has shape (..., m); returns (..., out_limbs).
+
+    16 sequential steps of cheap vector ops; negligible next to the
+    multiplies, and exact for arbitrary ripple distance.
+    """
+    m = acc.shape[-1]
+    limbs = []
+    carry = jnp.zeros(acc.shape[:-1], dtype=_U32)
+    for i in range(m):
+        v = acc[..., i] + carry
+        limbs.append(v & _mask())
+        carry = v >> LIMB_BITS
+    out = jnp.stack(limbs[:out_limbs], axis=-1)
+    return out
+
+
+def _add_raw(a, b):
+    """(a + b) over 16 limbs with carry chain; returns (sum_limbs, carry_out)."""
+    limbs = []
+    carry = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=_U32)
+    for i in range(LIMBS):
+        v = a[..., i] + b[..., i] + carry
+        limbs.append(v & _mask())
+        carry = v >> LIMB_BITS
+    return jnp.stack(limbs, axis=-1), carry
+
+
+def _sub_raw(a, b):
+    """(a - b) over 16 limbs with borrow chain; returns (diff, borrow_out)."""
+    limbs = []
+    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=_U32)
+    for i in range(LIMBS):
+        # add 2^16 bias so the subtraction never wraps below zero
+        v = a[..., i] + _U32(1 << LIMB_BITS) - b[..., i] - borrow
+        limbs.append(v & _mask())
+        borrow = _U32(1) - (v >> LIMB_BITS)
+    return jnp.stack(limbs, axis=-1), borrow
+
+
+def _cond_sub_p(spec: FieldSpec, a):
+    """Return a mod p for a in [0, 2p). One subtraction + select."""
+    p = jnp.asarray(spec.p_limbs)
+    d, borrow = _sub_raw(a, p)
+    ge = (borrow == 0)[..., None]
+    return jnp.where(ge, d, a)
+
+
+def add(spec: FieldSpec, a, b):
+    """Canonical modular addition."""
+    s, carry = _add_raw(a, b)
+    # a+b < 2p < 2^255 so carry==0 always for canonical inputs.
+    del carry
+    return _cond_sub_p(spec, s)
+
+
+def sub(spec: FieldSpec, a, b):
+    """Canonical modular subtraction."""
+    d, borrow = _sub_raw(a, b)
+    p = jnp.asarray(spec.p_limbs)
+    d_plus_p, _ = _add_raw(d, p)
+    return jnp.where((borrow == 1)[..., None], d_plus_p, d)
+
+
+def neg(spec: FieldSpec, a):
+    p = jnp.asarray(spec.p_limbs)
+    d, _ = _sub_raw(p, a)
+    # neg(0) must be 0, not p
+    is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+    return jnp.where(is_zero, jnp.zeros_like(d), d)
+
+
+def _mont_mul_impl(a, b, p_limbs, n0inv):
+    """Montgomery multiply: returns a*b*R^-1 mod p, canonical.
+
+    Interleaved operand-scanning (CIOS) with a redundant uint32
+    accumulator, vectorized over the limb axis: each of the 16 outer
+    steps is one 16-wide multiply plus slice-adds, so the traced graph
+    stays small and the VPU sees wide lanes.  Bounds: every accumulator
+    limb receives at most 16 lo + 16 hi halves from the product plus
+    16 lo + 16 hi from the reduction plus carries => < 2^23 << 2^32.
+    """
+    n = p_limbs  # (16,), broadcasts against (..., 1) * (16,)
+    bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, (*bshape, LIMBS))
+    b = jnp.broadcast_to(b, (*bshape, LIMBS))
+    acc = jnp.zeros((*bshape, 2 * LIMBS + 1), dtype=_U32)
+    mask = _mask()
+    n0 = _U32(n0inv)
+
+    # schoolbook product, lo/hi split
+    for i in range(LIMBS):
+        p_ = a[..., i : i + 1] * b  # (..., 16)
+        acc = acc.at[..., i : i + LIMBS].add(p_ & mask)
+        acc = acc.at[..., i + 1 : i + 1 + LIMBS].add(p_ >> LIMB_BITS)
+
+    # Montgomery reduction, one limb at a time
+    for i in range(LIMBS):
+        m = ((acc[..., i] * n0) & mask)[..., None]
+        q = m * n
+        acc = acc.at[..., i : i + LIMBS].add(q & mask)
+        acc = acc.at[..., i + 1 : i + 1 + LIMBS].add(q >> LIMB_BITS)
+        # acc[i] is now divisible by 2^16; fold its carry upward
+        acc = acc.at[..., i + 1].add(acc[..., i] >> LIMB_BITS)
+
+    r = _carry_norm(acc[..., LIMBS:], out_limbs=LIMBS)  # value < 2p
+    return r
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    p = jnp.asarray(spec.p_limbs)
+    r = _mont_mul_impl(a, b, p, spec.n0inv)
+    return _cond_sub_p(spec, r)
+
+
+def mul(spec: FieldSpec, a, b):
+    """Field multiply (both operands and result in Montgomery form)."""
+    return mont_mul(spec, a, b)
+
+
+def square(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+def to_mont(spec: FieldSpec, a_plain):
+    return mont_mul(spec, a_plain, jnp.asarray(spec.r2_limbs))
+
+
+def from_mont(spec: FieldSpec, a):
+    one = jnp.zeros_like(a).at[..., 0].set(1)
+    return mont_mul(spec, a, one)
+
+
+def pow_const(spec: FieldSpec, a, e: int):
+    """a ** e for a fixed python-int exponent.
+
+    Small exponents unroll statically; large ones run a fori_loop over
+    the exponent bits so the traced graph contains just two multiplies.
+    """
+    if e == 0:
+        return jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape)
+    nbits = e.bit_length()
+    if nbits <= 24:
+        result = None
+        base = a
+        while e > 0:
+            if e & 1:
+                result = base if result is None else mont_mul(spec, result, base)
+            e >>= 1
+            if e:
+                base = square(spec, base)
+        return result
+
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+    )
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape)
+
+    def body(i, carry):
+        result, base = carry
+        hit = mont_mul(spec, result, base)
+        result = jnp.where((bits[i] == 1)[..., None], hit, result)
+        base = square(spec, base)
+        return (result, base)
+
+    result, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+    return result
+
+
+def inv(spec: FieldSpec, a):
+    """Batched Fermat inversion a^(p-2). inv(0) = 0."""
+    return pow_const(spec, a, spec.modulus - 2)
+
+
+def batch_inv(spec: FieldSpec, a):
+    """Invert a batch (n, 16) with one field inversion + O(n) muls.
+
+    Montgomery's trick, TPU style: two associative-scan cumulative
+    products + one Fermat inversion + two elementwise muls.
+    Zero entries map to zero (scan-safe: zeros are replaced by ONE and
+    masked back at the end).
+    """
+    one = jnp.asarray(spec.one_mont)
+    is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+    a_safe = jnp.where(is_zero, one, a)
+
+    def combine(x, y):
+        return mont_mul(spec, x, y)
+
+    fwd = jax.lax.associative_scan(combine, a_safe, axis=0)          # P_i = prod_{j<=i}
+    rev = jax.lax.associative_scan(combine, a_safe[::-1], axis=0)[::-1]  # S_i = prod_{j>=i}
+    total_inv = inv(spec, fwd[-1])
+    n = a.shape[0]
+    # inv(a_i) = P_{i-1} * S_{i+1} * total_inv
+    p_prev = jnp.concatenate([one[None], fwd[:-1]], axis=0)
+    s_next = jnp.concatenate([rev[1:], one[None]], axis=0)
+    out = mont_mul(spec, mont_mul(spec, p_prev, s_next), total_inv)
+    return jnp.where(is_zero, jnp.zeros_like(out), out)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def is_zero(a):
+    return jnp.all(a == 0, axis=-1)
+
+
+def select(cond, a, b):
+    """cond broadcastable over batch shape (no limb axis)."""
+    return jnp.where(cond[..., None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# convenience: byte-value embedding (used by the AES circuit witness)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _byte_mont_table_np(spec: FieldSpec) -> np.ndarray:
+    """uint32[256,16]: Montgomery form of 0..255."""
+    return ints_to_limbs([spec.to_mont_host(v) for v in range(256)])
+
+
+def bytes_to_field(spec: FieldSpec, b):
+    """uint8/int array (...,) of byte values -> Montgomery limb array (...,16)."""
+    table = jnp.asarray(_byte_mont_table_np(spec))
+    return table[b.astype(jnp.int32)]
+
+
+def u16_to_field(spec: FieldSpec, v):
+    """Plain integer array with values < 2^16 -> Montgomery form (no table).
+
+    Builds the plain limb vector [v,0,...] and multiplies by R^2.
+    """
+    lead = v.astype(_U32)[..., None]
+    rest = jnp.zeros((*v.shape, LIMBS - 1), dtype=_U32)
+    return to_mont(spec, jnp.concatenate([lead, rest], axis=-1))
