@@ -54,6 +54,13 @@ def ints_to_limbs(xs) -> np.ndarray:
     return np.stack([int_to_limbs(int(x)) for x in xs])
 
 
+def ints_to_limbs_fast(xs) -> np.ndarray:
+    """Bulk python ints -> uint32[n,16] via bytes (no per-limb loop)."""
+    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(xs), LIMBS)
+    return u16.astype(np.uint32)
+
+
 def limbs_to_int(a) -> int:
     """uint32[16] -> python int."""
     a = np.asarray(a, dtype=np.uint64)
@@ -117,7 +124,20 @@ class FieldSpec:
         """Python ints (plain) -> limb array in Montgomery form."""
         if isinstance(xs, int):
             return int_to_limbs(self.to_mont_host(xs % self.modulus))
-        return ints_to_limbs([self.to_mont_host(int(x) % self.modulus) for x in xs])
+        return ints_to_limbs_fast([self.to_mont_host(int(x) % self.modulus) for x in xs])
+
+    def host_powers(self, base: int, count: int) -> np.ndarray:
+        """uint32[count,16] Montgomery powers table, computed with python
+        bigints (one host multiply per entry — faster than compiling
+        device doubling chains, and cacheable)."""
+        p = self.modulus
+        out = []
+        acc = 1
+        bm = base % p
+        for _ in range(count):
+            out.append(self.to_mont_host(acc))
+            acc = (acc * bm) % p
+        return ints_to_limbs_fast(out)
 
     def decode(self, a) -> list:
         """Limb array (Montgomery form) -> list of plain python ints."""
@@ -352,6 +372,39 @@ def batch_inv(spec: FieldSpec, a):
     s_next = jnp.concatenate([rev[1:], one[None]], axis=0)
     out = mont_mul(spec, mont_mul(spec, p_prev, s_next), total_inv)
     return jnp.where(is_zero, jnp.zeros_like(out), out)
+
+
+def powers(spec: FieldSpec, base, count: int):
+    """[1, base, base^2, ..., base^(count-1)] via log-depth doubling.
+
+    base: (16,) Montgomery form. Returns (count, 16). O(count) muls in
+    O(log count) sequential steps — the scan-free way to build twiddle
+    and challenge-power tables on device.
+    """
+    one = jnp.asarray(spec.one_mont)
+    arr = one[None, :]
+    cur = base
+    while arr.shape[0] < count:
+        arr = jnp.concatenate([arr, mont_mul(spec, arr, cur[None, :])], axis=0)
+        cur = square(spec, cur)
+    return arr[:count]
+
+
+def tree_sum(spec: FieldSpec, a, axis: int = 0):
+    """Modular sum along an axis via log-depth pairwise folding."""
+    a = jnp.moveaxis(a, axis, 0)
+    n = a.shape[0]
+    while n > 1:
+        half = n // 2
+        lo, hi, rest = a[:half], a[half : 2 * half], a[2 * half :]
+        a = jnp.concatenate([add(spec, lo, hi), rest], axis=0)
+        n = a.shape[0]
+    return a[0]
+
+
+def dot(spec: FieldSpec, a, b):
+    """Field inner product along the leading axis."""
+    return tree_sum(spec, mont_mul(spec, a, b), axis=0)
 
 
 def eq(a, b):

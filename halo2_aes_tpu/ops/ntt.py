@@ -1,0 +1,136 @@
+"""Number-theoretic transform over BN254 Fr, TPU-vectorized.
+
+Replaces the rayon-parallel best_fft of the reference's proving backend
+(SURVEY.md section 2.13 item 3: coset NTT for the quotient polynomial).
+
+Design: radix-2 decimation-in-time with a host-precomputed bit-reversal
+gather and per-stage twiddle tables that are built *on device* via
+log-depth power doubling (ops/field.powers).  Every stage is one
+batched field multiply + add/sub over (n/2) butterflies — no scalar
+loops, static shapes, scan-free.
+
+Domains are cached per (field, k).  Coset (extended-domain) transforms
+distribute powers of the multiplicative generator before the NTT, as in
+halo2's coset FFT.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_aes_tpu.ops import field as F
+
+
+def _bitrev_perm(k: int) -> np.ndarray:
+    n = 1 << k
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(k):
+        rev |= ((idx >> b) & 1) << (k - 1 - b)
+    return rev
+
+
+class Domain:
+    """Multiplicative subgroup of order 2^k with device twiddle tables."""
+
+    def __init__(self, spec: F.FieldSpec, k: int):
+        assert k <= spec.two_adicity
+        self.spec = spec
+        self.k = k
+        self.n = 1 << k
+        p = spec.modulus
+        self.omega = pow(spec.root_of_unity(), 1 << (spec.two_adicity - k), p)
+        self.omega_inv = pow(self.omega, -1, p)
+        self.n_inv = pow(self.n, -1, p)
+        self.bitrev = jnp.asarray(_bitrev_perm(k))
+        self._tw = {}
+
+    def _twiddles(self, inverse: bool):
+        """Full power table w^j, j < n/2 (w = omega or omega^-1).
+
+        Host-computed (python bigints + bulk limb conversion): building
+        these on device would compile log(n) differently-shaped multiply
+        kernels at several seconds each on XLA CPU.
+        """
+        key = inverse
+        if key not in self._tw:
+            base = self.omega_inv if inverse else self.omega
+            self._tw[key] = jnp.asarray(
+                self.spec.host_powers(base, max(1, self.n // 2))
+            )
+        return self._tw[key]
+
+    def omega_powers(self, count=None, inverse: bool = False):
+        """[1, w, w^2, ...] device table (count defaults to n)."""
+        key = ("pow", inverse, count or self.n)
+        if key not in self._tw:
+            base = self.omega_inv if inverse else self.omega
+            self._tw[key] = jnp.asarray(self.spec.host_powers(base, count or self.n))
+        return self._tw[key]
+
+
+@functools.lru_cache(maxsize=None)
+def domain(spec: F.FieldSpec, k: int) -> Domain:
+    return Domain(spec, k)
+
+
+def ntt(dom: Domain, x, inverse: bool = False):
+    """In-order NTT of x (n, LIMBS): coeffs->evals (or evals->coeffs).
+
+    The stage loop is a lax.fori_loop whose body computes butterfly
+    partners and twiddle indices arithmetically from the stage counter,
+    so the traced graph is ONE stage regardless of k (compile time would
+    otherwise scale with k * batch; measured 500s+ for an unrolled k=10
+    on XLA CPU).  Each element gathers its partner, so the multiply is
+    done for both halves (2x redundant) — a deliberate trade of VPU work
+    for constant graph size; the Pallas kernel path removes it later.
+    """
+    spec = dom.spec
+    n = dom.n
+    k = dom.k
+    assert x.shape[0] == n
+    x = jnp.take(x, dom.bitrev, axis=0)
+    tw_full = dom._twiddles(inverse)
+    o = jnp.arange(n, dtype=jnp.int32)
+
+    def stage(s, x):
+        m = jnp.int32(1) << s
+        half = m >> 1
+        j = o & (m - 1)
+        jh = j & (half - 1)
+        lo_idx = (o - j) + jh
+        hi_idx = lo_idx + half
+        tw_idx = jh << (k - s)          # jh * (n // m)
+        lo = jnp.take(x, lo_idx, axis=0)
+        hi = jnp.take(x, hi_idx, axis=0)
+        tw = jnp.take(tw_full, tw_idx, axis=0)
+        t = F.mont_mul(spec, hi, tw)
+        upper = (j >= half)[:, None]
+        return jnp.where(upper, F.sub(spec, lo, t), F.add(spec, lo, t))
+
+    x = jax.lax.fori_loop(1, k + 1, stage, x)
+    if inverse:
+        n_inv = jnp.asarray(spec.encode(dom.n_inv))
+        x = F.mont_mul(spec, x, n_inv)
+    return x
+
+
+def coset_ntt(dom: Domain, coeffs, shift_powers):
+    """Evaluate coeffs on the coset {shift * w^i}: distribute then NTT."""
+    return ntt(dom, F.mont_mul(dom.spec, coeffs, shift_powers))
+
+
+def coset_intt(dom: Domain, evals, shift_inv_powers):
+    """Inverse of coset_ntt."""
+    return F.mont_mul(dom.spec, ntt(dom, evals, inverse=True), shift_inv_powers)
+
+
+def eval_poly(spec: F.FieldSpec, coeffs, x):
+    """Evaluate a coefficient-form polynomial at point x ((16,) Montgomery)."""
+    pw = F.powers(spec, x, coeffs.shape[0])
+    return F.dot(spec, coeffs, pw)

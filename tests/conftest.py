@@ -17,3 +17,7 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA-CPU compiles of big limb-arithmetic graphs take ~10s each; cache them
+# across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/halo2_aes_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
