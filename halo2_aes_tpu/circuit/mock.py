@@ -81,6 +81,39 @@ class MockReport:
         return "; ".join(lines)
 
 
+def violation_counts(layout: CompiledCircuit, values):
+    """Jittable core: total violation count per constraint class.
+
+    Returns dict of int32 scalars {gates, lookups, copies}; all zero iff
+    the circuit is satisfied.  Unlike :func:`check` this extracts no row
+    indices, so the whole evaluation stays on device inside one jit.
+    """
+    usable = layout.usable_rows
+    get = _getter(values)
+    alg = Int32Algebra
+    row_ok = jnp.arange(layout.n) < usable
+
+    gate_bad = jnp.int32(0)
+    for _, gate in layout.cs.gates:
+        out = gate.eval(alg, get)
+        gate_bad += jnp.sum(((out != 0) & row_ok).astype(jnp.int32))
+
+    lookup_bad = jnp.int32(0)
+    for lk in layout.cs.lookups:
+        inputs = _pack([e.eval(alg, get) for e, _ in lk.pairs])[:usable]
+        table = _pack([jnp.asarray(layout.fixed[c]).astype(jnp.int32)
+                       for _, c in lk.pairs])[:usable]
+        table_sorted = jnp.sort(table)
+        pos = jnp.clip(jnp.searchsorted(table_sorted, inputs), 0, usable - 1)
+        lookup_bad += jnp.sum((table_sorted[pos] != inputs).astype(jnp.int32))
+
+    cp = jnp.asarray(layout.copy_pairs)
+    va = values[cp[:, 0], cp[:, 1]]
+    vb = values[cp[:, 2], cp[:, 3]]
+    copy_bad = jnp.sum((va != vb).astype(jnp.int32))
+    return {"gates": gate_bad, "lookups": lookup_bad, "copies": copy_bad}
+
+
 def check(layout: CompiledCircuit, values) -> MockReport:
     """values: uint32[num_columns, n] from witness.assemble_values."""
     n = layout.n

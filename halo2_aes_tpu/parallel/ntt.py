@@ -1,0 +1,75 @@
+"""Multi-device NTT via the four-step (Bailey) decomposition.
+
+The reference's backend runs best_fft on rayon threads in shared memory
+(SURVEY.md section 2.13); the multi-device scaling axis here is rows
+(SURVEY.md section 5.7).  A length-n transform is decomposed as an
+(n1 x n2) matrix:
+
+  1. column NTTs of size n1   — local when the matrix is sharded by column,
+  2. twiddle scaling w^(j2*k1) — elementwise, stays sharded,
+  3. reshard columns->rows     — the one collective (XLA lowers the
+     sharding-constraint change to an all-to-all over ICI),
+  4. row NTTs of size n2       — local when sharded by row,
+  5. transpose + flatten       — output in natural order.
+
+Derivation: with j = j1*n2 + j2, k = k2*n1 + k1,
+  X[k2*n1+k1] = sum_{j2} w_{n2}^{j2 k2} ( w^{j2 k1} sum_{j1} w_{n1}^{j1 k1} x[j1*n2+j2] ).
+
+The same decomposition with w^-1 and the sub-NTTs' 1/n1, 1/n2 scalings
+gives the inverse transform (1/n total).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from halo2_aes_tpu.ops import field as F
+from halo2_aes_tpu.ops.ntt import Domain, domain, ntt  # noqa: F401 (re-export)
+
+
+def _twiddle_matrix(dom: Domain, n1: int, n2: int, inverse: bool):
+    """(n1, n2, LIMBS) table of w^(k1*j2) gathered from the full power table."""
+    full = dom.omega_powers(dom.n, inverse=inverse)
+    k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
+    j2 = jnp.arange(n2, dtype=jnp.int32)[None, :]
+    return jnp.take(full, k1 * j2, axis=0)
+
+
+def ntt_sharded(mesh, axis: str, dom: Domain, x, inverse: bool = False):
+    """Distributed NTT of x (n, LIMBS) over one mesh axis.
+
+    Works on any mesh (including a single device); the sub-transform
+    sizes are k//2 and k - k//2, so the all-to-all moves each element
+    exactly once.
+    """
+    spec = dom.spec
+    k = dom.k
+    k1 = k // 2
+    k2 = k - k1
+    n1, n2 = 1 << k1, 1 << k2
+    dom1 = domain(spec, k1)
+    dom2 = domain(spec, k2)
+    tw = _twiddle_matrix(dom, n1, n2, inverse)
+
+    by_col = NamedSharding(mesh, P(None, axis, None))
+    by_row = NamedSharding(mesh, P(axis, None, None))
+    flat = NamedSharding(mesh, P(axis, None))
+
+    col_ntt = jax.vmap(lambda c: ntt(dom1, c, inverse=inverse), in_axes=1, out_axes=1)
+    row_ntt = jax.vmap(lambda r: ntt(dom2, r, inverse=inverse), in_axes=0, out_axes=0)
+
+    @functools.partial(jax.jit, out_shardings=flat)
+    def run(x):
+        a = jax.lax.with_sharding_constraint(x.reshape(n1, n2, F.LIMBS), by_col)
+        b = F.mont_mul(spec, col_ntt(a), tw)
+        c = jax.lax.with_sharding_constraint(b, by_row)   # the all-to-all
+        d = row_ntt(c)
+        return jnp.swapaxes(d, 0, 1).reshape(dom.n, F.LIMBS)
+
+    with mesh:
+        return run(x)
