@@ -1,0 +1,179 @@
+"""Key generation: verifying key + proving key from a compiled circuit.
+
+Role of halo2's keygen_vk/keygen_pk (reference src/main.rs:78-79).  The
+reference synthesizes the circuit twice more here; our layout is static,
+so keygen is: lift fixed columns to field form, build the permutation
+assembly from the precompiled copy-pair list, NTT everything once, and
+commit (device MSMs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_aes_tpu.backend import permutation as PERM
+from halo2_aes_tpu.backend import poly as P
+from halo2_aes_tpu.backend import protocol as PROTO
+from halo2_aes_tpu.backend.srs import SRS
+from halo2_aes_tpu.circuit.ir import CompiledCircuit
+from halo2_aes_tpu.ops import curve as CV
+from halo2_aes_tpu.ops import field as F
+from halo2_aes_tpu.ops.ntt import domain
+
+FR = F.FR
+
+
+@dataclass
+class VerifyingKey:
+    k: int
+    ext_k: int
+    usable: int
+    cs: object                       # host ConstraintSystem
+    fixed_ids: list                  # global ids, commitment order
+    fixed_commitments: list          # affine (x, y) plain-int pairs
+    sigma_commitments: list
+    g2: tuple = None                 # G2 generator (affine Fq2)
+    s_g2: tuple = None               # [tau] G2
+    digest: int = 0
+
+    def _compute_digest(self) -> int:
+        h = hashlib.blake2b(b"halo2_aes_tpu vk v1", digest_size=64)
+        h.update(repr((self.k, self.ext_k, self.usable)).encode())
+        h.update(repr(self.cs.gates).encode())
+        h.update(repr([(lk.name, lk.pairs) for lk in self.cs.lookups]).encode())
+        h.update(repr(self.cs.perm_columns).encode())
+        from halo2_aes_tpu.backend.transcript import point_to_bytes
+
+        for pt in self.fixed_commitments + self.sigma_commitments:
+            h.update(point_to_bytes(pt))
+        return int.from_bytes(h.digest(), "little") % FR.modulus
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    srs: SRS
+    layout: CompiledCircuit
+    fixed_field: dict                # col id -> (n, 16) Montgomery evals
+    fixed_coeffs: dict               # col id -> (n, 16) coefficients
+    sigma_values: jnp.ndarray        # (m, n, 16)
+    sigma_coeffs: jnp.ndarray
+    id_values: jnp.ndarray           # (m, n, 16)
+    l0_coeffs: jnp.ndarray
+    l_last_coeffs: jnp.ndarray
+    l_active_coeffs: jnp.ndarray
+
+
+def _commit_affine(srs: SRS, coeffs):
+    return CV.to_affine_host(srs.commit(coeffs))[0]
+
+
+def layout_fingerprint(layout: CompiledCircuit) -> str:
+    """Stable hash of everything keygen consumes from the layout."""
+    import numpy as _np
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(repr((layout.k, layout.cs.gates, layout.cs.perm_columns,
+                   [(lk.name, lk.pairs) for lk in layout.cs.lookups],
+                   [(c.index, c.kind) for c in layout.cs.columns])).encode())
+    h.update(_np.ascontiguousarray(layout.fixed).tobytes())
+    h.update(_np.ascontiguousarray(layout.copy_pairs).tobytes())
+    return h.hexdigest()
+
+
+def keygen_cached(layout: CompiledCircuit, srs: SRS,
+                  cache_dir: str = "ptau") -> ProvingKey:
+    """keygen with an on-disk cache of the commitment-heavy artifacts
+    (role of the reference's SRS cache, src/main.rs:70-75, extended to
+    the proving key per SURVEY.md section 5.4)."""
+    import os
+
+    tag = layout_fingerprint(layout)
+    path = os.path.join(cache_dir, f"pk_{tag}_s{srs.k}.npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=True)
+        pk = keygen(layout, srs, _precomputed={
+            "fixed_comms": [tuple(int(v) for v in pt) for pt in z["fixed_comms"]],
+            "sigma_comms": [tuple(int(v) for v in pt) for pt in z["sigma_comms"]],
+        })
+        return pk
+    pk = keygen(layout, srs)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(
+        path,
+        fixed_comms=np.array([[str(x), str(y)] for x, y in pk.vk.fixed_commitments],
+                             dtype=object),
+        sigma_comms=np.array([[str(x), str(y)] for x, y in pk.vk.sigma_commitments],
+                             dtype=object),
+    )
+    return pk
+
+
+def keygen(layout: CompiledCircuit, srs: SRS,
+           _precomputed: dict | None = None) -> ProvingKey:
+    cs = layout.cs
+    k = layout.k
+    assert srs.k >= k, "SRS too small"
+    n = layout.n
+    ext_k = k + max(1, (cs.degree() - 2).bit_length())  # ext_n >= (d-1) n
+    usable = layout.usable_rows
+    dom = domain(FR, k)
+
+    fixed_field = {}
+    fixed_coeffs = {}
+    fixed_comms = []
+    fixed_ids = layout.fixed_ids()
+    for c in fixed_ids:
+        vals = jnp.asarray(layout.fixed[c])
+        assert int(np.max(layout.fixed[c])) < (1 << 16)
+        fld = F.u16_to_field(FR, vals)
+        fixed_field[c] = fld
+        fixed_coeffs[c] = P.to_coeffs(dom, fld)
+        if _precomputed is None:
+            fixed_comms.append(_commit_affine(srs, fixed_coeffs[c]))
+    if _precomputed is not None:
+        fixed_comms = _precomputed["fixed_comms"]
+
+    assembly = PERM.build_assembly(cs.perm_columns, n, layout.copy_pairs)
+    sigma_values = assembly.sigma_values(k)
+    id_values = assembly.id_values(k)
+    sigma_coeffs = jnp.stack([P.to_coeffs(dom, sigma_values[i])
+                              for i in range(sigma_values.shape[0])])
+    if _precomputed is None:
+        sigma_comms = [_commit_affine(srs, sigma_coeffs[i])
+                       for i in range(sigma_coeffs.shape[0])]
+    else:
+        sigma_comms = _precomputed["sigma_comms"]
+
+    # l_0, l_last, l_active as coefficient polys (indicator INTTs)
+    def indicator(mask):
+        fld = F.select(jnp.asarray(mask),
+                       jnp.broadcast_to(jnp.asarray(FR.one_mont), (n, F.LIMBS)),
+                       jnp.zeros((n, F.LIMBS), jnp.uint32))
+        return P.to_coeffs(dom, fld)
+
+    rows = np.arange(n)
+    l0 = indicator(rows == 0)
+    l_last = indicator(rows == usable)
+    l_active = indicator(rows < usable)
+
+    vk = VerifyingKey(k, ext_k, usable, cs, fixed_ids, fixed_comms, sigma_comms,
+                      g2=srs.g2, s_g2=srs.s_g2)
+    vk.digest = vk._compute_digest()
+    return ProvingKey(
+        vk=vk,
+        srs=srs,
+        layout=layout,
+        fixed_field=fixed_field,
+        fixed_coeffs=fixed_coeffs,
+        sigma_values=sigma_values,
+        sigma_coeffs=sigma_coeffs,
+        id_values=id_values,
+        l0_coeffs=l0,
+        l_last_coeffs=l_last,
+        l_active_coeffs=l_active,
+    )

@@ -1,0 +1,141 @@
+"""Permutation (copy-constraint) argument: keygen cycles + grand products.
+
+Role of halo2's permutation::keygen Assembly and permutation prover
+(SURVEY.md section 2.13 items 2-3).  Keygen turns the layout's explicit
+copy-pair list into cycle permutations sigma (host, union-find); the
+prover builds the chunked grand-product columns z_t on device with one
+batched inversion and an associative-scan cumulative product — replacing
+halo2's sequential row loop.
+
+Identity labels: cell (perm column i, row j) gets delta^i * omega^j,
+with delta = g^(2^s) (generator of the odd-order subgroup), so labels
+are globally unique.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_aes_tpu.ops import field as F
+from halo2_aes_tpu.ops.ntt import domain
+
+FR = F.FR
+
+
+@functools.lru_cache(maxsize=None)
+def delta() -> int:
+    return pow(7, 1 << FR.two_adicity, FR.modulus)
+
+
+@functools.lru_cache(maxsize=None)
+def _label_tables(k: int, m: int):
+    """(omega_pows (n,16), delta_pows (m,16)) Montgomery tables."""
+    w = domain(FR, k).omega
+    return (jnp.asarray(FR.host_powers(w, 1 << k)),
+            jnp.asarray(FR.host_powers(delta(), m)))
+
+
+@dataclass
+class PermutationAssembly:
+    """sigma mapping: for perm-column i, row j -> (col', row')."""
+
+    perm_columns: list          # global column ids, order = delta exponent
+    map_col: np.ndarray         # (m, n) int32
+    map_row: np.ndarray         # (m, n) int32
+
+    def sigma_values(self, k: int):
+        """(m, n, LIMBS) Montgomery sigma poly evaluations."""
+        omega_pows, delta_pows = _label_tables(k, len(self.perm_columns))
+        return F.mont_mul(
+            FR,
+            jnp.take(delta_pows, jnp.asarray(self.map_col), axis=0),
+            jnp.take(omega_pows, jnp.asarray(self.map_row), axis=0),
+        )
+
+    def id_values(self, k: int):
+        omega_pows, delta_pows = _label_tables(k, len(self.perm_columns))
+        return F.mont_mul(FR, delta_pows[:, None, :], omega_pows[None, :, :])
+
+
+def build_assembly(perm_columns, n: int, copy_pairs: np.ndarray) -> PermutationAssembly:
+    """Union copy pairs into cycles; sigma = one cyclic rotation per class.
+
+    copy_pairs: (P, 4) int32 (col_a, row_a, col_b, row_b) global ids;
+    every referenced column must be equality-enabled."""
+    m = len(perm_columns)
+    col_pos = {c: i for i, c in enumerate(perm_columns)}
+    parent = np.arange(m * n, dtype=np.int64)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for ca, ra, cb, rb in np.asarray(copy_pairs, dtype=np.int64):
+        a = col_pos[ca] * n + ra
+        b = col_pos[cb] * n + rb
+        ra_, rb_ = find(a), find(b)
+        if ra_ != rb_:
+            parent[rb_] = ra_
+
+    roots = np.array([find(i) for i in range(m * n)], dtype=np.int64)
+    # next-in-cycle: stable-sort members by root, link each run circularly
+    order = np.argsort(roots, kind="stable")
+    sorted_roots = roots[order]
+    nxt = np.empty(m * n, dtype=np.int64)
+    run_start = 0
+    for i in range(1, m * n + 1):
+        if i == m * n or sorted_roots[i] != sorted_roots[run_start]:
+            members = order[run_start:i]
+            nxt[members] = np.roll(members, -1)
+            run_start = i
+    return PermutationAssembly(
+        list(perm_columns),
+        (nxt // n).astype(np.int32).reshape(m, n),
+        (nxt % n).astype(np.int32).reshape(m, n),
+    )
+
+
+def grand_products(k: int, usable: int, chunk_len: int, values, sigmas, ids,
+                   beta_m, gamma_m, blinding):
+    """Build the chunked permutation grand-product columns.
+
+    values/sigmas/ids: (m, n, LIMBS) Montgomery (values = perm-column
+    evaluations in field form).  beta_m/gamma_m: (16,) Montgomery
+    challenges.  blinding: (chunks, blind_rows, LIMBS) random tail values.
+    Returns (chunks, n, LIMBS); z_t[0] = z_{t-1}[usable] (chunk linking),
+    z_0[0] = 1.
+    """
+    m, n = values.shape[0], values.shape[1]
+    chunks = -(-m // chunk_len)
+    num = F.add(FR, values, F.add(FR, F.mont_mul(FR, beta_m, ids), gamma_m))
+    den = F.add(FR, values, F.add(FR, F.mont_mul(FR, beta_m, sigmas), gamma_m))
+    den_inv = F.batch_inv(FR, den.reshape(-1, F.LIMBS)).reshape(den.shape)
+    ratio = F.mont_mul(FR, num, den_inv)        # (m, n)
+
+    one = jnp.asarray(FR.one_mont)
+    active = (jnp.arange(n) < usable)[:, None]
+    zs = []
+    init = one
+    for t in range(chunks):
+        r = ratio[t * chunk_len : (t + 1) * chunk_len]
+        row_ratio = r[0]
+        for i in range(1, r.shape[0]):
+            row_ratio = F.mont_mul(FR, row_ratio, r[i])
+        row_ratio = F.select(active[:, 0], row_ratio, jnp.broadcast_to(one, row_ratio.shape))
+        # inclusive scan then shift: z[j] = init * prod_{l<j} ratio[l]
+        cum = jax.lax.associative_scan(lambda a, b: F.mont_mul(FR, a, b), row_ratio, axis=0)
+        z = jnp.concatenate([jnp.broadcast_to(one, (1, F.LIMBS)), cum[:-1]], axis=0)
+        z = F.mont_mul(FR, z, init)
+        init = F.mont_mul(FR, init, cum[usable - 1])  # z_t[usable]
+        z = jnp.concatenate([z[: n - blinding.shape[1]], blinding[t]], axis=0)
+        zs.append(z)
+    return jnp.stack(zs)

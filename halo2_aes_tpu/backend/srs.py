@@ -1,0 +1,132 @@
+"""KZG structured reference string: setup, cache, commit.
+
+Role of halo2's ParamsKZG (reference src/main.rs:61-81: load cached SRS
+from ptau/ else generate).  Differences, by design:
+  * generation is deterministic from a seed (reference uses OsRng);
+    production deployments load a ceremony SRS instead,
+  * the tau-power G1 table is computed ON DEVICE: host builds 32x256
+    fixed-window tables of G1 multiples (python bigints, ~8k adds),
+    the device gathers by scalar digits and tree-adds — generating
+    2^k points costs one batched 5-level add tree instead of 2^k host
+    scalar muls,
+  * cache format is numpy .npz (no Rust interop possible here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_aes_tpu.backend import pairing as PR
+from halo2_aes_tpu.ops import curve as CV
+from halo2_aes_tpu.ops import field as F
+from halo2_aes_tpu.ops import msm as MSM
+
+FR, FQ = F.FR, F.FQ
+
+_WINDOW = 8
+_NWIN = -(-MSM.SCALAR_BITS // _WINDOW)
+
+
+@dataclass
+class SRS:
+    """g1 powers [tau^i]G1 (affine Montgomery limb arrays) + G2 side."""
+
+    k: int
+    g1_x: jnp.ndarray        # (n, 16)
+    g1_y: jnp.ndarray
+    g2: tuple                # G2 generator, affine Fq2 ints
+    s_g2: tuple              # [tau] G2
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+    def commit(self, coeffs_mont):
+        """Commit a coefficient-form poly ((m, 16) Montgomery, m <= n)."""
+        m = coeffs_mont.shape[0]
+        scalars = F.from_mont(FR, coeffs_mont)
+        return MSM.msm((self.g1_x[:m], self.g1_y[:m]), scalars)
+
+
+def _host_window_tables(c: int = _WINDOW):
+    """T[w][d] = d * 2^(c*w) * G1 as (nwin, 2^c, 2, 16) Montgomery limbs.
+
+    d=0 rows are placeholders (masked to identity on device)."""
+    nwin = _NWIN
+    tables = np.zeros((nwin, 1 << c, 2, F.LIMBS), dtype=np.uint32)
+    base = (CV.G1_X, CV.G1_Y)
+    for w in range(nwin):
+        acc = None
+        for d in range(1, 1 << c):
+            acc = CV.py_add(acc, base)
+            tables[w, d, 0] = F.int_to_limbs(FQ.to_mont_host(acc[0]))
+            tables[w, d, 1] = F.int_to_limbs(FQ.to_mont_host(acc[1]))
+        for _ in range(c):
+            base = CV.py_add(base, base)
+    return tables
+
+
+def _gen_g1_powers(k: int, tau: int):
+    """[tau^i] G1 for i < 2^k, computed with one batched window-table sum."""
+    n = 1 << k
+    # host: tau^i scalars (plain)
+    scal = np.empty(n, dtype=object)
+    acc = 1
+    for i in range(n):
+        scal[i] = acc
+        acc = acc * tau % FR.modulus
+    limbs = jnp.asarray(F.ints_to_limbs_fast(list(scal)))
+    tables = jnp.asarray(_host_window_tables())
+    digs = MSM.digit_matrix(limbs, _WINDOW)            # (nwin, n)
+    one = jnp.asarray(FQ.one_mont)
+
+    @jax.jit
+    def combine(digs, tables):
+        # gather per-window points, mask digit-0 to identity, tree-add
+        xs = []
+        ys = []
+        zs = []
+        for w in range(_NWIN):
+            pt = jnp.take(tables[w], digs[w], axis=0)   # (n, 2, 16)
+            nz = digs[w] != 0
+            xs.append(pt[:, 0])
+            ys.append(pt[:, 1])
+            zs.append(jnp.where(nz[:, None], one[None, :], jnp.zeros((1, F.LIMBS), jnp.uint32)))
+        pts = (jnp.stack(xs), jnp.stack(ys), jnp.stack(zs))  # (nwin, n, 16)
+        jac = MSM._tree_add(pts)
+        # jacobian -> affine (tau^i != 0 so no identities)
+        zinv = F.batch_inv(FQ, jac[2])
+        zi2 = F.square(FQ, zinv)
+        ax = F.mul(FQ, jac[0], zi2)
+        ay = F.mul(FQ, jac[1], F.mul(FQ, zi2, zinv))
+        return ax, ay
+
+    return combine(digs, tables)
+
+
+def setup(k: int, seed: bytes = b"halo2_aes_tpu dev srs",
+          cache_dir: str | None = "ptau") -> SRS:
+    """Deterministic dev SRS (cached).  NOT a trusted setup."""
+    tau = int.from_bytes(
+        hashlib.blake2b(seed, digest_size=64).digest(), "little"
+    ) % FR.modulus
+    path = None
+    if cache_dir is not None:
+        tag = hashlib.blake2b(seed, digest_size=8).hexdigest()
+        path = os.path.join(cache_dir, f"kzg_bn254_{k}_{tag}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            return SRS(k, jnp.asarray(z["g1_x"]), jnp.asarray(z["g1_y"]),
+                       PR.G2, PR.g2_mul(PR.G2, tau))
+    g1_x, g1_y = _gen_g1_powers(k, tau)
+    srs = SRS(k, g1_x, g1_y, PR.G2, PR.g2_mul(PR.G2, tau))
+    if path is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(path, g1_x=np.asarray(g1_x), g1_y=np.asarray(g1_y))
+    return srs

@@ -1,0 +1,207 @@
+"""Proof verifier (host-side python ints + one pairing-product check).
+
+The reference crate never verifies anything (SURVEY.md section 2.11:
+"No verifier is ever invoked anywhere in the crate") — this module is a
+deliberate capability addition (build plan SURVEY.md section 7 step 7).
+It replays the prover's transcript (backend/prover.py docstring),
+recomputes the expected quotient value at the challenge point from the
+shared protocol terms, reconstructs the SHPLONK linearization
+commitment, and checks one pairing product.
+
+Everything here is O(proof size) scalar math; nothing touches the TPU.
+"""
+
+from __future__ import annotations
+
+from halo2_aes_tpu.backend import pairing as PR
+from halo2_aes_tpu.backend import poly as P
+from halo2_aes_tpu.backend import protocol as PROTO
+from halo2_aes_tpu.backend.keygen import VerifyingKey
+from halo2_aes_tpu.backend.transcript import TranscriptReader
+from halo2_aes_tpu.circuit.ir import ADVICE, FIXED, INSTANCE
+from halo2_aes_tpu.ops import curve as CV
+from halo2_aes_tpu.ops.field import FR
+from halo2_aes_tpu.ops.ntt import domain
+
+R = FR.modulus
+
+
+class HostAlgebra:
+    @staticmethod
+    def const(v: int):
+        return v % R
+
+    add = staticmethod(lambda a, b: (a + b) % R)
+    mul = staticmethod(lambda a, b: a * b % R)
+    neg = staticmethod(lambda a: -a % R)
+
+
+class VerifyError(ValueError):
+    pass
+
+
+def verify(vk: VerifyingKey, proof: bytes, instances=None) -> bool:
+    """Raises VerifyError on any failure; returns True on success."""
+    cs = vk.cs
+    k, usable = vk.k, vk.usable
+    n = 1 << k
+    dom = domain(FR, k)
+    omega = dom.omega
+    chunks = -(-len(cs.perm_columns) // cs.permutation_chunk_len())
+    ratio = 1 << (vk.ext_k - vk.k)
+    tr = TranscriptReader(proof)
+
+    tr.common_scalar(vk.digest)
+    instances = instances or []
+    inst_ids = [c.index for c in cs.columns if c.kind == INSTANCE]
+    if len(instances) != len(inst_ids):
+        raise VerifyError("instance count mismatch")
+    for vals in instances:
+        for v in vals:
+            tr.common_scalar(int(v))
+
+    advice_ids = [c.index for c in cs.columns if c.kind == ADVICE]
+    comms = {}
+    try:
+        for c in advice_ids:
+            comms[("advice", c)] = tr.read_point()
+        theta = tr.squeeze_challenge()
+        for i in range(len(cs.lookups)):
+            comms[("lookup_a", i)] = tr.read_point()
+            comms[("lookup_s", i)] = tr.read_point()
+        beta = tr.squeeze_challenge()
+        gamma = tr.squeeze_challenge()
+        for t in range(chunks):
+            comms[("perm_z", t)] = tr.read_point()
+        for i in range(len(cs.lookups)):
+            comms[("lookup_z", i)] = tr.read_point()
+        comms[("random",)] = tr.read_point()
+        y = tr.squeeze_challenge()
+        h_pieces = [tr.read_point() for _ in range(ratio)]
+        x = tr.squeeze_challenge()
+
+        plan = PROTO.open_queries(cs)
+        evals = {}
+        for key, rot in plan:
+            if key[0] != "h":
+                evals[(key, rot)] = tr.read_scalar()
+    except ValueError as e:
+        raise VerifyError(str(e)) from e
+
+    for i, c in enumerate(vk.fixed_ids):
+        comms[("fixed", c)] = vk.fixed_commitments[i]
+    for i, pt in enumerate(vk.sigma_commitments):
+        comms[("sigma", i)] = pt
+
+    # combined h commitment and its expected evaluation
+    xn = pow(x, n, R)
+    h_comm = None
+    sc = 1
+    for j, pt in enumerate(h_pieces):
+        h_comm = CV.py_add(h_comm, CV.py_mul(pt, sc) if sc != 1 else pt)
+        sc = sc * xn % R
+    comms[("h",)] = h_comm
+
+    def rot_point(rot):
+        r = usable if rot == "u" else rot
+        return x * pow(omega, r % n, R) % R
+
+    # ---- expected quotient value at x ---------------------------------------
+    blind_rows = list(range(usable + 1, n))
+    lag = P.lagrange_evals_host(k, x, [0, usable] + blind_rows)
+    l0x, l_lastx = lag[0], lag[1]
+    l_activex = (1 - l_lastx - sum(lag[2:])) % R
+
+    inst_vals = dict(zip(inst_ids, instances))
+
+    class Ctx(PROTO.Context):
+        alg = HostAlgebra
+        one = 1
+        l0, l_last, l_active = l0x, l_lastx, l_activex
+
+        @staticmethod
+        def column(col, rot):
+            kind = cs.columns[col].kind
+            if kind == ADVICE:
+                return evals[(("advice", col), rot)]
+            if kind == FIXED:
+                return evals[(("fixed", col), rot)]
+            vals = inst_vals[col]
+            ls = P.lagrange_evals_host(k, rot_point(rot), range(len(vals)))
+            return sum(int(v) * l for v, l in zip(vals, ls)) % R
+
+        @staticmethod
+        def perm_z(t, rot):
+            return evals[(("perm_z", t), rot)]
+
+        @staticmethod
+        def sigma(i):
+            return evals[(("sigma", i), 0)]
+
+        @staticmethod
+        def perm_id(i):
+            from halo2_aes_tpu.backend.permutation import delta
+
+            return pow(delta(), i, R) * x % R
+
+        @staticmethod
+        def lookup_z(i, rot):
+            return evals[(("lookup_z", i), rot)]
+
+        @staticmethod
+        def lookup_a(i, rot):
+            return evals[(("lookup_a", i), rot)]
+
+        @staticmethod
+        def lookup_s(i):
+            return evals[(("lookup_s", i), 0)]
+
+    Ctx.theta, Ctx.beta, Ctx.gamma = theta, beta, gamma
+
+    acc = None
+    for term in PROTO.constraint_terms(cs, Ctx):
+        acc = term if acc is None else (acc * y + term) % R
+    zh_x = (pow(x, n, R) - 1) % R
+    if zh_x == 0:
+        raise VerifyError("challenge x in domain")
+    evals[(("h",), 0)] = acc * pow(zh_x, -1, R) % R
+
+    # ---- SHPLONK check --------------------------------------------------------
+    v = tr.squeeze_challenge()
+    try:
+        w_h = tr.read_point()
+        u = tr.squeeze_challenge()
+        w_q = tr.read_point()
+        tr.assert_consumed()
+    except ValueError as e:
+        raise VerifyError(str(e)) from e
+
+    groups = PROTO.group_queries(plan)
+    t_rots = []
+    for _, rots in groups:
+        for r_ in rots:
+            if r_ not in t_rots:
+                t_rots.append(r_)
+    t_points = [rot_point(r_) for r_ in t_rots]
+    zt_u = P.eval_host(P.vanishing_poly_coeffs(t_points), u)
+
+    l_comm = CV.py_mul(w_h, -zt_u % R)
+    const_corr = 0
+    v_pow = 1
+    for key, rots in groups:
+        pts = [rot_point(r_) for r_ in rots]
+        evs = [evals[(key, r_)] for r_ in rots]
+        s = v_pow * P.eval_host(
+            P.vanishing_poly_coeffs([p for p in t_points if p not in pts]), u
+        ) % R
+        l_comm = CV.py_add(l_comm, CV.py_mul(comms[key], s))
+        r_u = P.eval_host(P.lagrange_interp_host(pts, evs), u)
+        const_corr = (const_corr + s * r_u) % R
+        v_pow = v_pow * v % R
+    l_comm = CV.py_add(l_comm, CV.py_mul((CV.G1_X, CV.G1_Y), -const_corr % R))
+
+    lhs = CV.py_add(l_comm, CV.py_mul(w_q, u))
+    neg_wq = None if w_q is None else (w_q[0], -w_q[1] % PR.Q)
+    if not PR.pairing_product_is_one([(lhs, vk.g2), (neg_wq, vk.s_g2)]):
+        raise VerifyError("pairing check failed")
+    return True

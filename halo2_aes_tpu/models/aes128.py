@@ -322,6 +322,21 @@ def compile_circuit(cfg: AesConfig) -> CompiledCircuit:
         rp[:, 2:] = rk_target
         pairs += [ip, rp]
 
+    # --- public-input exposure (reference TODO at src/aes128.rs:174) --------
+    if cfg.expose_ciphertext:
+        inst = cols.instance
+        ct_pairs = np.empty((cfg.n_blocks * 16, 4), dtype=np.int32)
+        for b, (s, j) in enumerate(placements):
+            base = (KS.CHIP_ROWS if s == 0 else 0) + j * BLOCK_ROWS
+            gpool = ks_pool_len + b * BLOCK_ROWS
+            a2 = cols.chip_sets[s].advice[2]
+            for q in range(16):
+                row = 16 * b + q
+                # instance value = ciphertext byte (round-10 ARK output)
+                witness_map[inst, row] = gpool + 1344 + q
+                ct_pairs[16 * b + q] = (inst, row, a2, base + 1344 + q)
+        pairs.append(ct_pairs)
+
     copy_pairs = np.concatenate(pairs, axis=0)
 
     meta = {

@@ -164,6 +164,22 @@ FQ = FieldSpec("bn254_fq", FQ_MODULUS)
 
 _U32 = jnp.uint32
 
+# Graph-size mode: the unrolled kernels below trace ~hundreds of ops per
+# field multiply, which XLA fuses into near-optimal vector code but
+# compiles slowly when thousands of multiplies appear in one computation
+# (MSM scans).  Compact mode swaps in fori_loop bodies (~10 ops traced
+# per multiply): far faster to compile, less fusable at runtime.  Tests
+# on the single-CPU host enable it (tests/conftest.py); TPU runs keep
+# the unrolled default.
+_COMPACT = False
+
+
+def set_compact_graphs(on: bool) -> None:
+    """Must be called before the first field op: the jitted entry points
+    below cache traces, and a later flip would not retrace them."""
+    global _COMPACT
+    _COMPACT = bool(on)
+
 
 def _mask():
     return _U32(LIMB_MASK)
@@ -173,14 +189,31 @@ def zeros(shape=()) -> jnp.ndarray:
     return jnp.zeros((*shape, LIMBS), dtype=_U32)
 
 
+def _dus_add(acc, v, start):
+    """acc[..., start : start+v.shape[-1]] += v (dynamic start index)."""
+    seg = jax.lax.dynamic_slice_in_dim(acc, start, v.shape[-1], axis=-1)
+    return jax.lax.dynamic_update_slice_in_dim(acc, seg + v, start, axis=-1)
+
+
 def _carry_norm(acc, out_limbs=LIMBS):
     """Sequentially propagate carries: redundant limbs (<2^32) -> canonical
     16-bit limbs.  ``acc`` has shape (..., m); returns (..., out_limbs).
 
-    16 sequential steps of cheap vector ops; negligible next to the
+    Sequential steps of cheap vector ops; negligible next to the
     multiplies, and exact for arbitrary ripple distance.
     """
     m = acc.shape[-1]
+    if _COMPACT:
+        def step(i, state):
+            out, carry = state
+            v = jax.lax.dynamic_slice_in_dim(acc, i, 1, axis=-1) + carry
+            out = jax.lax.dynamic_update_slice_in_dim(out, v & _mask(), i, axis=-1)
+            return out, v >> LIMB_BITS
+
+        out0 = jnp.zeros_like(acc)
+        carry0 = jnp.zeros((*acc.shape[:-1], 1), dtype=_U32)
+        out, _ = jax.lax.fori_loop(0, m, step, (out0, carry0))
+        return out[..., :out_limbs]
     limbs = []
     carry = jnp.zeros(acc.shape[:-1], dtype=_U32)
     for i in range(m):
@@ -193,8 +226,15 @@ def _carry_norm(acc, out_limbs=LIMBS):
 
 def _add_raw(a, b):
     """(a + b) over 16 limbs with carry chain; returns (sum_limbs, carry_out)."""
+    bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    if _COMPACT:
+        # a + b never overflows u32 columns; one redundant add + carry pass
+        s = jnp.broadcast_to(a, (*bshape, LIMBS)) + jnp.broadcast_to(b, (*bshape, LIMBS))
+        wide = jnp.concatenate([s, jnp.zeros((*bshape, 1), _U32)], axis=-1)
+        out = _carry_norm(wide, LIMBS + 1)
+        return out[..., :LIMBS], out[..., LIMBS]
     limbs = []
-    carry = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=_U32)
+    carry = jnp.zeros(bshape, dtype=_U32)
     for i in range(LIMBS):
         v = a[..., i] + b[..., i] + carry
         limbs.append(v & _mask())
@@ -204,8 +244,19 @@ def _add_raw(a, b):
 
 def _sub_raw(a, b):
     """(a - b) over 16 limbs with borrow chain; returns (diff, borrow_out)."""
+    bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    if _COMPACT:
+        # biased redundant form: a_i + (2^16 - 1) - b_i + 1 at limb 0 keeps
+        # every column in [0, 2^17); the carry pass then yields a - b + 2^256,
+        # whose top carry bit is the NOT-borrow flag.
+        bias = jnp.full((*bshape, LIMBS), LIMB_MASK, _U32)
+        s = jnp.broadcast_to(a, (*bshape, LIMBS)) + bias - jnp.broadcast_to(b, (*bshape, LIMBS))
+        s = s.at[..., 0].add(1)
+        wide = jnp.concatenate([s, jnp.zeros((*bshape, 1), _U32)], axis=-1)
+        out = _carry_norm(wide, LIMBS + 1)
+        return out[..., :LIMBS], _U32(1) - out[..., LIMBS]
     limbs = []
-    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=_U32)
+    borrow = jnp.zeros(bshape, dtype=_U32)
     for i in range(LIMBS):
         # add 2^16 bias so the subtraction never wraps below zero
         v = a[..., i] + _U32(1 << LIMB_BITS) - b[..., i] - borrow
@@ -222,6 +273,12 @@ def _cond_sub_p(spec: FieldSpec, a):
     return jnp.where(ge, d, a)
 
 
+# The public entry points below are jitted with the FieldSpec static:
+# called eagerly, closure-free jit args hit the pjit cache per shape
+# (an eager fori_loop would close over concrete arrays as jaxpr
+# constants and recompile on every call).
+
+@functools.partial(jax.jit, static_argnums=0)
 def add(spec: FieldSpec, a, b):
     """Canonical modular addition."""
     s, carry = _add_raw(a, b)
@@ -230,6 +287,7 @@ def add(spec: FieldSpec, a, b):
     return _cond_sub_p(spec, s)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def sub(spec: FieldSpec, a, b):
     """Canonical modular subtraction."""
     d, borrow = _sub_raw(a, b)
@@ -238,6 +296,7 @@ def sub(spec: FieldSpec, a, b):
     return jnp.where((borrow == 1)[..., None], d_plus_p, d)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def neg(spec: FieldSpec, a):
     p = jnp.asarray(spec.p_limbs)
     d, _ = _sub_raw(p, a)
@@ -264,6 +323,24 @@ def _mont_mul_impl(a, b, p_limbs, n0inv):
     mask = _mask()
     n0 = _U32(n0inv)
 
+    if _COMPACT:
+        # interleaved CIOS: one fori_loop step = product row + reduction row
+        def step(i, acc):
+            ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)
+            t = ai * b
+            acc = _dus_add(acc, t & mask, i)
+            acc = _dus_add(acc, t >> LIMB_BITS, i + 1)
+            acc_i = jax.lax.dynamic_slice_in_dim(acc, i, 1, axis=-1)
+            m = (acc_i * n0) & mask
+            q = m * n
+            acc = _dus_add(acc, q & mask, i)
+            acc = _dus_add(acc, q >> LIMB_BITS, i + 1)
+            acc_i = jax.lax.dynamic_slice_in_dim(acc, i, 1, axis=-1)
+            return _dus_add(acc, acc_i >> LIMB_BITS, i + 1)
+
+        acc = jax.lax.fori_loop(0, LIMBS, step, acc)
+        return _carry_norm(acc[..., LIMBS:], out_limbs=LIMBS)
+
     # schoolbook product, lo/hi split
     for i in range(LIMBS):
         p_ = a[..., i : i + 1] * b  # (..., 16)
@@ -283,6 +360,7 @@ def _mont_mul_impl(a, b, p_limbs, n0inv):
     return r
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
     p = jnp.asarray(spec.p_limbs)
     r = _mont_mul_impl(a, b, p, spec.n0inv)
@@ -307,6 +385,7 @@ def from_mont(spec: FieldSpec, a):
     return mont_mul(spec, a, one)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def pow_const(spec: FieldSpec, a, e: int):
     """a ** e for a fixed python-int exponent.
 
@@ -348,6 +427,7 @@ def inv(spec: FieldSpec, a):
     return pow_const(spec, a, spec.modulus - 2)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def batch_inv(spec: FieldSpec, a):
     """Invert a batch (n, 16) with one field inversion + O(n) muls.
 

@@ -47,8 +47,14 @@ class Domain:
         self.omega = pow(spec.root_of_unity(), 1 << (spec.two_adicity - k), p)
         self.omega_inv = pow(self.omega, -1, p)
         self.n_inv = pow(self.n, -1, p)
-        self.bitrev = jnp.asarray(_bitrev_perm(k))
+        self._bitrev_np = _bitrev_perm(k)
         self._tw = {}
+
+    @property
+    def bitrev(self):
+        # numpy cached, converted per use: caching a jnp array created
+        # inside a jit trace would leak a tracer into later traces
+        return jnp.asarray(self._bitrev_np)
 
     def _twiddles(self, inverse: bool):
         """Full power table w^j, j < n/2 (w = omega or omega^-1).
@@ -60,18 +66,16 @@ class Domain:
         key = inverse
         if key not in self._tw:
             base = self.omega_inv if inverse else self.omega
-            self._tw[key] = jnp.asarray(
-                self.spec.host_powers(base, max(1, self.n // 2))
-            )
-        return self._tw[key]
+            self._tw[key] = self.spec.host_powers(base, max(1, self.n // 2))
+        return jnp.asarray(self._tw[key])
 
     def omega_powers(self, count=None, inverse: bool = False):
         """[1, w, w^2, ...] device table (count defaults to n)."""
         key = ("pow", inverse, count or self.n)
         if key not in self._tw:
             base = self.omega_inv if inverse else self.omega
-            self._tw[key] = jnp.asarray(self.spec.host_powers(base, count or self.n))
-        return self._tw[key]
+            self._tw[key] = self.spec.host_powers(base, count or self.n)
+        return jnp.asarray(self._tw[key])
 
 
 @functools.lru_cache(maxsize=None)
@@ -80,6 +84,17 @@ def domain(spec: F.FieldSpec, k: int) -> Domain:
 
 
 def ntt(dom: Domain, x, inverse: bool = False):
+    """In-order NTT of x (n, ..., LIMBS) along axis 0 — jitted per domain
+    so eager call sites reuse one compiled transform."""
+    return _ntt_jit(dom, inverse, x.ndim)(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_jit(dom: Domain, inverse: bool, ndim: int):
+    return jax.jit(functools.partial(_ntt_impl, dom, inverse=inverse))
+
+
+def _ntt_impl(dom: Domain, x, inverse: bool = False):
     """In-order NTT of x (n, LIMBS): coeffs->evals (or evals->coeffs).
 
     The stage loop is a lax.fori_loop whose body computes butterfly

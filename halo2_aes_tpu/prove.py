@@ -1,0 +1,102 @@
+"""End-to-end AES-128 prove (+verify) driver.
+
+Role of the reference's prove binary (reference src/main.rs:83-108:
+K=20/N=4, 3000 encrypts, SRS cache, ark-std timers) — with the verify
+step the reference lacks.
+
+Usage:
+  python -m halo2_aes_tpu.prove --k 17 --blocks 4 --sets 1 --verify
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
+        srs_cache: str | None = "ptau", expose_ciphertext: bool = False) -> dict:
+    import jax
+
+    from halo2_aes_tpu.ops import field
+
+    # XLA compile passes run on the (single-core) host even for the TPU
+    # backend; compact limb kernels keep prover compiles tractable.
+    field.set_compact_graphs(True)
+
+    from halo2_aes_tpu.backend import srs as SRS
+    from halo2_aes_tpu.backend.keygen import keygen_cached
+    from halo2_aes_tpu.backend.prover import prove
+    from halo2_aes_tpu.backend.verifier import verify
+    from halo2_aes_tpu.circuit import witness
+    from halo2_aes_tpu.models.aes128 import AesConfig, compile_circuit
+
+    timings = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+                print(f"[{name}] {timings[name]}s", flush=True)
+
+        return _T()
+
+    with timed("compile_circuit"):
+        cfg = AesConfig(k=k, n_sets=n_sets, n_blocks=blocks,
+                        expose_ciphertext=expose_ciphertext)
+        layout = compile_circuit(cfg)
+    with timed("srs_setup"):
+        srs = SRS.setup(k, cache_dir=srs_cache)
+    with timed("keygen"):
+        pk = keygen_cached(layout, srs, cache_dir=srs_cache or 'ptau')
+
+    rng = np.random.default_rng(seed)
+    key = rng.integers(0, 256, 16, dtype=np.uint8)
+    plaintexts = rng.integers(0, 256, (blocks, 16), dtype=np.uint8)
+
+    with timed("witness"):
+        import jax.numpy as jnp
+
+        pool = witness.build_pool(jnp.asarray(key), jnp.asarray(plaintexts))
+        values = jax.block_until_ready(witness.assemble_values(layout, pool))
+    with timed("prove"):
+        proof = prove(pk, values, seed=seed)
+    result = {"proof_bytes": len(proof), "timings": timings,
+              "blocks": blocks, "k": k, "n_sets": n_sets}
+    if do_verify:
+        instances = None
+        if expose_ciphertext:
+            # the verifier checks the proof binds to the TRUE ciphertext,
+            # computed with an independent oracle
+            from halo2_aes_tpu.ops import aes
+
+            ct = np.asarray(aes.encrypt(plaintexts, key)).reshape(-1)
+            instances = [[int(v) for v in ct]]
+        with timed("verify"):
+            verify(pk.vk, proof, instances=instances)
+        result["verified"] = True
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--k", type=int, default=17)
+    ap.add_argument("--sets", type=int, default=1)
+    ap.add_argument("--blocks", type=int, default=1)
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--expose-ciphertext", action="store_true")
+    args = ap.parse_args()
+    result = run(args.k, args.sets, args.blocks, args.verify, args.seed,
+                 expose_ciphertext=args.expose_ciphertext)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,14 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# XLA-CPU compiles of big limb-arithmetic graphs take ~10s each; cache them
-# across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/halo2_aes_tpu_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: the persistent compilation cache is deliberately NOT enabled:
+# jaxlib segfaults deserializing cached executables of the big MSM scan
+# graphs (reproduced twice on this host, 2026-08-16).  In-process pjit
+# caching still applies.
+
+# The CI/dev host has ONE cpu; unrolled limb kernels make XLA-CPU compiles
+# of MSM/prover graphs take tens of minutes.  Compact (fori_loop) kernels
+# trade runtime fusion for ~100x smaller traced graphs.
+from halo2_aes_tpu.ops import field  # noqa: E402
+
+field.set_compact_graphs(True)

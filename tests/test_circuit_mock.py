@@ -114,6 +114,35 @@ def test_corrupt_copy_rejected():
     assert len(report.perm_failures) > 0
 
 
+def test_key_schedule_only_circuit():
+    """Key-schedule-alone proving config (reference benches/key_schedule.rs:
+    one 10-round expansion per proof, k=17)."""
+    cfg = aes128.AesConfig(k=17, n_sets=1, n_blocks=0)
+    layout = aes128.compile_circuit(cfg)
+    key = np.arange(16, dtype=np.uint8)
+    pool = witness.build_pool(jnp.asarray(key), jnp.zeros((0, 16), jnp.uint8))
+    mock.assert_satisfied(layout, witness.assemble_values(layout, pool))
+
+
+def test_expose_ciphertext_instance():
+    """Public-input exposure (reference TODO src/aes128.rs:174): instance
+    rows carry the ciphertext, bound by copy constraints."""
+    cfg = aes128.AesConfig(k=17, n_sets=1, n_blocks=2, expose_ciphertext=True)
+    layout = aes128.compile_circuit(cfg)
+    key = np.zeros(16, np.uint8)
+    pts = np.arange(32, dtype=np.uint8).reshape(2, 16)
+    pool = witness.build_pool(jnp.asarray(key), jnp.asarray(pts))
+    vals = np.asarray(witness.assemble_values(layout, pool))
+    mock.assert_satisfied(layout, jnp.asarray(vals))
+    inst = layout.meta["columns"].instance
+    expect = np.asarray(aes.encrypt(pts, key)).reshape(-1)
+    assert list(vals[inst, :32]) == list(expect)
+    # tampering with the public input breaks the copy constraints
+    bad = vals.copy()
+    bad[inst, 3] ^= 1
+    assert len(mock.check(layout, jnp.asarray(bad)).perm_failures) > 0
+
+
 def test_capacity_error():
     with pytest.raises(aes128.CapacityError):
         aes128.compile_circuit(aes128.AesConfig(k=17, n_sets=1, n_blocks=10_000))

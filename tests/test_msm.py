@@ -1,0 +1,48 @@
+"""Pippenger MSM vs the python-bigint oracle."""
+
+import jax
+import numpy as np
+
+from halo2_aes_tpu.ops import curve as CV
+from halo2_aes_tpu.ops import field as F
+from halo2_aes_tpu.ops import msm as M
+
+G = (CV.G1_X, CV.G1_Y)
+
+
+def test_digit_matrix_reassembles_scalar():
+    rng = np.random.default_rng(5)
+    vals = [int(rng.integers(0, 1 << 63)) << s for s in (0, 64, 128, 190)]
+    vals += [0, 1, F.FR.modulus - 1]
+    limbs = F.ints_to_limbs_fast(vals)
+    for c in (4, 11, 13):
+        digs = np.asarray(M.digit_matrix(limbs, c))
+        got = [
+            sum(int(digs[w, i]) << (w * c) for w in range(digs.shape[0]))
+            for i in range(len(vals))
+        ]
+        assert got == vals
+
+
+def test_msm_matches_oracle():
+    import random
+
+    rng = np.random.default_rng(11)
+    pyrng = random.Random(11)
+    n = 32
+    pts = [CV.py_mul(G, int(rng.integers(1, 1 << 61))) for _ in range(n)]
+    scalars = [pyrng.randrange(F.FR.modulus) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = F.FR.modulus - 1
+    scalars[2] = 1
+
+    out = jax.jit(lambda p, s: M.msm(p, s, c=6))(
+        CV.affine_from_ints(pts), F.ints_to_limbs_fast(scalars)
+    )
+    assert CV.to_affine_host(out)[0] == M.msm_host(pts, scalars)
+
+
+def test_msm_all_zero_scalars_is_identity():
+    pts = [CV.py_mul(G, i + 1) for i in range(4)]
+    out = M.msm(CV.affine_from_ints(pts), F.ints_to_limbs_fast([0, 0, 0, 0]), c=5)
+    assert CV.to_affine_host(out)[0] is None
