@@ -1,0 +1,58 @@
+"""Steady-state AES prove timing: compile-warm pipeline, then timed proves.
+
+Usage: python scripts/prove_steady.py [k] [blocks] [sets]
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 17
+    blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sets = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    from halo2_aes_tpu.ops import field
+
+    field.set_compact_graphs(True)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from halo2_aes_tpu.backend import srs as SRS
+    from halo2_aes_tpu.backend.keygen import keygen_cached
+    from halo2_aes_tpu.backend.prover import prove
+    from halo2_aes_tpu.backend.verifier import verify
+    from halo2_aes_tpu.circuit import witness
+    from halo2_aes_tpu.models.aes128 import AesConfig, compile_circuit
+
+    t0 = time.perf_counter()
+    layout = compile_circuit(AesConfig(k=k, n_sets=sets, n_blocks=blocks))
+    srs = SRS.setup(k)
+    pk = keygen_cached(layout, srs)
+    print(f"setup+keygen {time.perf_counter()-t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    key = rng.integers(0, 256, 16, dtype=np.uint8)
+    pts = rng.integers(0, 256, (blocks, 16), dtype=np.uint8)
+    pool = witness.build_pool(jnp.asarray(key), jnp.asarray(pts))
+    values = jax.block_until_ready(witness.assemble_values(layout, pool))
+
+    t0 = time.perf_counter()
+    proof = prove(pk, values, seed=1)
+    print(f"prove#1 (cold) {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    proof = prove(pk, values, seed=2)
+    dt = time.perf_counter() - t0
+    print(f"prove#2 (warm) {dt:.1f}s = {blocks/dt:.3f} blocks/s", flush=True)
+    t0 = time.perf_counter()
+    verify(pk.vk, proof)
+    print(f"verify {time.perf_counter()-t0:.2f}s ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()
