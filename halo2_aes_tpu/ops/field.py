@@ -172,6 +172,7 @@ _U32 = jnp.uint32
 # on the single-CPU host enable it (tests/conftest.py); TPU runs keep
 # the unrolled default.
 _COMPACT = False
+_USE_PALLAS = False
 
 
 def set_compact_graphs(on: bool) -> None:
@@ -179,6 +180,14 @@ def set_compact_graphs(on: bool) -> None:
     below cache traces, and a later flip would not retrace them."""
     global _COMPACT
     _COMPACT = bool(on)
+
+
+def set_pallas(on: bool) -> None:
+    """Route large multiplies through the Pallas TPU kernel
+    (ops/pallas_field.py; measured ~4x the XLA path on v5e).  Same
+    trace-caching caveat as set_compact_graphs."""
+    global _USE_PALLAS
+    _USE_PALLAS = bool(on)
 
 
 def _mask():
@@ -362,6 +371,12 @@ def _mont_mul_impl(a, b, p_limbs, n0inv):
 
 @functools.partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
+    if _USE_PALLAS:
+        from halo2_aes_tpu.ops import pallas_field
+
+        out = pallas_field.maybe_mont_mul(spec, a, b)
+        if out is not None:
+            return out
     p = jnp.asarray(spec.p_limbs)
     r = _mont_mul_impl(a, b, p, spec.n0inv)
     return _cond_sub_p(spec, r)

@@ -1,16 +1,17 @@
-"""Pallas TPU kernels for batched field arithmetic.
+"""Pallas TPU kernel for batched Montgomery multiplication.
 
 The XLA limb kernels in ops/field.py are correct everywhere but leave
-TPU performance on the table: (N, 16) u32 arrays use 16 of 128 lanes,
-and XLA's fusion of the 16x16 product lattice is compile-bound.  The
-Pallas path processes one (BLK, 16) block per grid step, transposes it
-to limb-major (16, BLK) in VMEM — every limb row then occupies full
-vector lanes — and runs the fully unrolled CIOS Montgomery multiply in
-registers.  One kernel = one HBM round trip per operand.
+TPU performance on the table: compact (fori_loop) mode spills the
+33-column accumulator to HBM on every loop step, and unrolled mode
+takes tens of minutes of XLA compile on this host.  The Pallas kernel
+gets both: the fully unrolled 16x16 CIOS lattice lives INSIDE one
+kernel (Mosaic compiles straight-line vector code quickly) and the
+accumulator stays in VMEM/registers.
 
-Used (when enabled via ``use_pallas``) by the NTT butterfly multiply and
-the elementwise product paths; falls back to ops/field.py on non-TPU
-backends.
+Layout: limb-major (16, N) u32 — each limb row occupies full vector
+lanes.  The wrapper transposes at the XLA level and pads N to the block
+size.  Enable with ``set_enabled(True)`` (prove.py does this on TPU);
+``field.mont_mul`` is unchanged — callers opt in via ``mont_mul`` here.
 """
 
 from __future__ import annotations
@@ -19,39 +20,44 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from halo2_aes_tpu.ops import field as F
 
 LIMBS = F.LIMBS
-MASK = jnp.uint32(F.LIMB_MASK)
+MASK = 0xFFFF  # python int: weak-typed inside the kernel (no captured consts)
+BLK = 2048  # columns per grid step: 3 x (16, 2048) u32 = 384 KB VMEM
 
-_BLK = 1024  # batch rows per grid step: 2 x (1024,16) u32 in + 1 out ~ 192KB VMEM
+_ENABLED = False
 
 
-def _mont_mul_kernel(p_ref, n0_ref, a_ref, b_ref, o_ref):
-    """One block: o = a * b * R^-1 mod p (canonical)."""
-    a = a_ref[:].T  # (16, BLK) limb-major
-    b = b_ref[:].T
-    n = p_ref[:]    # (16, 1) -> broadcast rows
-    n0 = n0_ref[0]
+def set_enabled(on: bool) -> None:
+    global _ENABLED
+    _ENABLED = bool(on)
 
-    acc = [jnp.zeros_like(a[0]) for _ in range(2 * LIMBS + 1)]
+
+def _kernel(p_ref, n0_ref, a_ref, b_ref, o_ref):
+    a = a_ref[:]          # (16, BLK)
+    b = b_ref[:]
+    n0 = n0_ref[0, 0]
+
+    acc = [jnp.zeros((1, a.shape[1]), jnp.uint32) for _ in range(2 * LIMBS + 1)]
     for i in range(LIMBS):
-        ai = a[i]
+        ai = a[i : i + 1]
         for j in range(LIMBS):
-            t = ai * b[j]
-            acc[i + j] = acc[i + j] + (t & MASK)
-            acc[i + j + 1] = acc[i + j + 1] + (t >> 16)
+            t = ai * b[j : j + 1]
+            acc[i + j] += t & MASK
+            acc[i + j + 1] += t >> 16
         m = (acc[i] * n0) & MASK
         for j in range(LIMBS):
-            q = m * n[j, 0]
-            acc[i + j] = acc[i + j] + (q & MASK)
-            acc[i + j + 1] = acc[i + j + 1] + (q >> 16)
-        acc[i + 1] = acc[i + 1] + (acc[i] >> 16)
+            q = m * p_ref[j, 0]
+            acc[i + j] += q & MASK
+            acc[i + j + 1] += q >> 16
+        acc[i + 1] += acc[i] >> 16
 
-    # carry-normalize the upper half -> r < 2p
+    # carry-normalize upper half (result < 2p)
     limbs = []
     carry = jnp.zeros_like(acc[0])
     for i in range(LIMBS, 2 * LIMBS + 1):
@@ -64,48 +70,85 @@ def _mont_mul_kernel(p_ref, n0_ref, a_ref, b_ref, o_ref):
     borrow = jnp.zeros_like(limbs[0])
     diff = []
     for i in range(LIMBS):
-        v = limbs[i] + jnp.uint32(1 << 16) - n[i, 0] - borrow
+        v = limbs[i] + (1 << 16) - p_ref[i, 0] - borrow
         diff.append(v & MASK)
-        borrow = jnp.uint32(1) - (v >> 16)
+        borrow = 1 - (v >> 16)
     ge = borrow == 0
-    out = [jnp.where(ge, d, l) for d, l in zip(diff, limbs)]
-    o_ref[:] = jnp.stack(out, axis=0).T
+    o_ref[:] = jnp.concatenate(
+        [jnp.where(ge, d, l) for d, l in zip(diff, limbs)], axis=0
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def _mont_mul_fn(modulus: int, n0inv: int, n_rows: int):
+def _fn(modulus: int, n0inv: int, cols: int):
     import numpy as np
 
     p_limbs = np.asarray(F.int_to_limbs(modulus), np.uint32).reshape(LIMBS, 1)
-    grid = n_rows // _BLK
+    n0 = np.array([[n0inv]], np.uint32)
 
-    def fn(a, b):
+    @jax.jit
+    def run(at, bt):
         return pl.pallas_call(
-            functools.partial(_mont_mul_kernel),
-            grid=(grid,),
+            _kernel,
+            grid=(cols // BLK,),
             in_specs=[
-                pl.BlockSpec((LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((_BLK, LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK, LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((LIMBS, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((LIMBS, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((_BLK, LIMBS), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((LIMBS, BLK), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_rows, LIMBS), jnp.uint32),
-        )(jnp.asarray(p_limbs), jnp.asarray([n0inv], jnp.uint32), a, b)
+            out_shape=jax.ShapeDtypeStruct((LIMBS, cols), jnp.uint32),
+        )(jnp.asarray(p_limbs), jnp.asarray(n0), at, bt)
 
-    return fn
+    return run
+
+
+_MIN_ROWS = 4096  # below this the XLA path's dispatch is cheaper
+
+
+def available(a, b) -> bool:
+    return (
+        a.shape[-1] == LIMBS
+        and b.shape[-1] == LIMBS
+        and jax.default_backend() != "cpu"
+    )
+
+
+def _mul2d(spec: F.FieldSpec, a, b):
+    n = a.shape[0]
+    pad = (-n) % BLK
+    at = jnp.pad(a, ((0, pad), (0, 0))).T
+    bt = jnp.pad(b, ((0, pad), (0, 0))).T
+    out = _fn(spec.modulus, spec.n0inv, n + pad)(at, bt)
+    return out.T[:n]
+
+
+def maybe_mont_mul(spec: F.FieldSpec, a, b):
+    """Pallas Montgomery multiply for large batched operands, handling
+    leading-dim flattening and operand broadcasting; returns None when
+    the XLA path should be used instead (small/odd shapes, CPU)."""
+    if not available(a, b):
+        return None
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    rows = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 0
+    if rows < _MIN_ROWS:
+        return None
+    a2 = jnp.broadcast_to(a, shape).reshape(rows, LIMBS)
+    b2 = jnp.broadcast_to(b, shape).reshape(rows, LIMBS)
+    return _mul2d(spec, a2, b2).reshape(shape)
 
 
 def mont_mul(spec: F.FieldSpec, a, b):
-    """Pallas Montgomery multiply for 2-D (N, 16) inputs, N % 1024 == 0.
+    """Direct entry point (tests/benches); gated by set_enabled."""
+    out = maybe_mont_mul(spec, a, b) if _ENABLED else None
+    if out is None:
+        return F.mont_mul(spec, a, b)
+    return out
 
-    Falls back to the XLA path for other shapes/platforms."""
-    if (
-        a.ndim == 2
-        and b.shape == a.shape
-        and a.shape[0] % _BLK == 0
-        and jax.default_backend() != "cpu"
-    ):
-        return _mont_mul_fn(spec.modulus, spec.n0inv, a.shape[0])(a, b)
-    return F.mont_mul(spec, a, b)
+
+def enable_in_field_ops() -> None:
+    """Route field.mont_mul's large multiplies through this kernel."""
+    set_enabled(True)
+    F.set_pallas(True)

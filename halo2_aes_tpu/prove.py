@@ -26,6 +26,10 @@ def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
     # XLA compile passes run on the (single-core) host even for the TPU
     # backend; compact limb kernels keep prover compiles tractable.
     field.set_compact_graphs(True)
+    if jax.default_backend() != "cpu":
+        from halo2_aes_tpu.ops import pallas_field
+
+        pallas_field.enable_in_field_ops()
 
     from halo2_aes_tpu.backend import srs as SRS
     from halo2_aes_tpu.backend.keygen import keygen_cached

@@ -20,6 +20,11 @@ def main():
     field.set_compact_graphs(True)
 
     import jax
+
+    if jax.default_backend() != "cpu":
+        from halo2_aes_tpu.ops import pallas_field
+
+        pallas_field.enable_in_field_ops()
     import jax.numpy as jnp
     import numpy as np
 
