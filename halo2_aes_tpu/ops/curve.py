@@ -88,8 +88,14 @@ def add(p, q):
 
     Cost: one general add (6 stacked multiply stages) + one double per
     call — the price of a branch-free combiner that
-    associative_scan/fori_loop can use.
+    associative_scan/fori_loop can use.  Large batches route to the
+    fused Pallas kernel when enabled (ops/pallas_curve.py).
     """
+    from halo2_aes_tpu.ops import pallas_curve
+
+    fused = pallas_curve.maybe_add(p, q)
+    if fused is not None:
+        return fused
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     Z1Z1, Z2Z2, Y1Z2, Y2Z1, Z1Z2 = _bmul(

@@ -149,6 +149,10 @@ def mont_mul(spec: F.FieldSpec, a, b):
 
 
 def enable_in_field_ops() -> None:
-    """Route field.mont_mul's large multiplies through this kernel."""
+    """Route field.mont_mul's large multiplies and curve.add's large
+    batches through the Pallas kernels."""
+    from halo2_aes_tpu.ops import pallas_curve
+
     set_enabled(True)
     F.set_pallas(True)
+    pallas_curve.set_enabled(True)
