@@ -230,10 +230,12 @@ def maybe_add(p, q):
     rows = int(np.prod(shape[:-1], dtype=np.int64))
     if rows < _MIN_ROWS:
         return None
-    pad = (-rows) % BLK
+    from halo2_aes_tpu.ops.pallas_field import _canon_cols
+
+    cols = _canon_cols(rows)
     planes = []
     for c in (*p, *q):
         c2 = c.reshape(rows, LIMBS)
-        planes.append(jnp.pad(c2, ((0, pad), (0, 0))).T)
-    x3, y3, z3 = _fn(rows + pad)(*planes)
+        planes.append(jnp.pad(c2, ((0, cols - rows), (0, 0))).T)
+    x3, y3, z3 = _fn(cols)(*planes)
     return tuple(v.T[:rows].reshape(shape) for v in (x3, y3, z3))

@@ -116,12 +116,19 @@ def available(a, b) -> bool:
     )
 
 
+def _canon_cols(n: int) -> int:
+    """Pad to max(2^16, next power of two): every scan level then shares
+    one kernel compile instead of one per distinct size (remote Mosaic
+    compiles of these kernels cost minutes each)."""
+    return max(1 << 16, 1 << (n - 1).bit_length())
+
+
 def _mul2d(spec: F.FieldSpec, a, b):
     n = a.shape[0]
-    pad = (-n) % BLK
-    at = jnp.pad(a, ((0, pad), (0, 0))).T
-    bt = jnp.pad(b, ((0, pad), (0, 0))).T
-    out = _fn(spec.modulus, spec.n0inv, n + pad)(at, bt)
+    cols = _canon_cols(n)
+    at = jnp.pad(a, ((0, cols - n), (0, 0))).T
+    bt = jnp.pad(b, ((0, cols - n), (0, 0))).T
+    out = _fn(spec.modulus, spec.n0inv, cols)(at, bt)
     return out.T[:n]
 
 

@@ -18,7 +18,8 @@ import numpy as np
 
 
 def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
-        srs_cache: str | None = "ptau", expose_ciphertext: bool = False) -> dict:
+        srs_cache: str | None = "ptau", expose_ciphertext: bool = False,
+        use_pallas: bool = False) -> dict:
     import jax
 
     from halo2_aes_tpu.ops import field
@@ -26,7 +27,10 @@ def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
     # XLA compile passes run on the (single-core) host even for the TPU
     # backend; compact limb kernels keep prover compiles tractable.
     field.set_compact_graphs(True)
-    if jax.default_backend() != "cpu":
+    # Pallas kernels give ~2-10x steady-state throughput but add long
+    # one-time remote Mosaic compiles; default off for one-shot proves
+    # (scripts/prove_steady.py turns them on for warm benchmarking).
+    if use_pallas and jax.default_backend() != "cpu":
         from halo2_aes_tpu.ops import pallas_field
 
         pallas_field.enable_in_field_ops()
@@ -96,9 +100,11 @@ def main():
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--expose-ciphertext", action="store_true")
+    ap.add_argument("--pallas", action="store_true")
     args = ap.parse_args()
     result = run(args.k, args.sets, args.blocks, args.verify, args.seed,
-                 expose_ciphertext=args.expose_ciphertext)
+                 expose_ciphertext=args.expose_ciphertext,
+                 use_pallas=args.pallas)
     print(json.dumps(result))
 
 
