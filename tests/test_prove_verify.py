@@ -75,6 +75,10 @@ def test_roundtrip(setup):
     assert verify(pk.vk, proof)
     # different blinding seed still verifies
     assert verify(pk.vk, prove(pk, values, seed=43))
+    # the cost model's proof-size estimate is exact
+    from halo2_aes_tpu.utils import cost_model
+
+    assert cost_model.estimate(layout).proof_bytes == len(proof)
 
 
 def test_bad_witness_rejected(setup):
