@@ -41,13 +41,17 @@ class VerifyingKey:
     digest: int = 0
 
     def _compute_digest(self) -> int:
-        h = hashlib.blake2b(b"halo2_aes_tpu vk v1", digest_size=64)
-        h.update(repr((self.k, self.ext_k, self.usable)).encode())
-        h.update(repr(self.cs.gates).encode())
-        h.update(repr([(lk.name, lk.pairs) for lk in self.cs.lookups]).encode())
-        h.update(repr(self.cs.perm_columns).encode())
-        from halo2_aes_tpu.backend.transcript import point_to_bytes
+        """Byte-serialized vk digest (role of halo2's pinned-vk hash).
 
+        Everything is fixed-width binary via ir.cs_bytes — no ``repr``
+        (Python repr stability is not a protocol)."""
+        from halo2_aes_tpu.backend.transcript import point_to_bytes
+        from halo2_aes_tpu.circuit.ir import cs_bytes
+
+        h = hashlib.blake2b(b"halo2_aes_tpu vk v2", digest_size=64)
+        for v in (self.k, self.ext_k, self.usable):
+            h.update(int(v).to_bytes(8, "little"))
+        h.update(cs_bytes(self.cs))
         for pt in self.fixed_commitments + self.sigma_commitments:
             h.update(point_to_bytes(pt))
         return int.from_bytes(h.digest(), "little") % FR.modulus
@@ -58,6 +62,7 @@ class ProvingKey:
     vk: VerifyingKey
     srs: SRS
     layout: CompiledCircuit
+    assembly: object                 # PermutationAssembly (cached to disk)
     fixed_field: dict                # col id -> (n, 16) Montgomery evals
     fixed_coeffs: dict               # col id -> (n, 16) coefficients
     sigma_values: jnp.ndarray        # (m, n, 16)
@@ -76,29 +81,49 @@ def layout_fingerprint(layout: CompiledCircuit) -> str:
     """Stable hash of everything keygen consumes from the layout."""
     import numpy as _np
 
+    from halo2_aes_tpu.circuit.ir import cs_bytes
+
     h = hashlib.blake2b(digest_size=16)
-    h.update(repr((layout.k, layout.cs.gates, layout.cs.perm_columns,
-                   [(lk.name, lk.pairs) for lk in layout.cs.lookups],
-                   [(c.index, c.kind) for c in layout.cs.columns])).encode())
+    h.update(layout.k.to_bytes(4, "little"))
+    h.update(cs_bytes(layout.cs))
     h.update(_np.ascontiguousarray(layout.fixed).tobytes())
     h.update(_np.ascontiguousarray(layout.copy_pairs).tobytes())
     return h.hexdigest()
 
 
+def srs_identity(srs: SRS) -> str:
+    """Short identity tag of a concrete SRS instance.
+
+    Hashes a few G1 powers plus the G2 side, so a re-generated SRS with
+    a different tau (or a ceremony SRS of the same k) never aliases a
+    cached proving key built for another tau — stale fixed/sigma
+    commitments would make every honest proof fail the pairing check."""
+    h = hashlib.blake2b(digest_size=8)
+    take = min(4, int(srs.g1_x.shape[0]))
+    h.update(np.ascontiguousarray(np.asarray(srs.g1_x[:take])).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(srs.g1_y[:take])).tobytes())
+    h.update(repr(srs.s_g2).encode())
+    return h.hexdigest()
+
+
 def keygen_cached(layout: CompiledCircuit, srs: SRS,
                   cache_dir: str = "ptau") -> ProvingKey:
-    """keygen with an on-disk cache of the commitment-heavy artifacts
-    (role of the reference's SRS cache, src/main.rs:70-75, extended to
-    the proving key per SURVEY.md section 5.4)."""
+    """keygen with an on-disk cache of the expensive artifacts: fixed and
+    sigma commitments AND the permutation assembly maps (role of the
+    reference's SRS cache, src/main.rs:70-75, extended to the proving key
+    per SURVEY.md section 5.4).  Cache key = layout fingerprint + SRS k
+    + SRS identity (see srs_identity)."""
     import os
 
     tag = layout_fingerprint(layout)
-    path = os.path.join(cache_dir, f"pk_{tag}_s{srs.k}.npz")
+    path = os.path.join(cache_dir, f"pk_{tag}_s{srs.k}_{srs_identity(srs)}.npz")
     if os.path.exists(path):
         z = np.load(path, allow_pickle=True)
         pk = keygen(layout, srs, _precomputed={
             "fixed_comms": [tuple(int(v) for v in pt) for pt in z["fixed_comms"]],
             "sigma_comms": [tuple(int(v) for v in pt) for pt in z["sigma_comms"]],
+            "assembly": PERM.PermutationAssembly(
+                list(layout.cs.perm_columns), z["map_col"], z["map_row"]),
         })
         return pk
     pk = keygen(layout, srs)
@@ -109,6 +134,8 @@ def keygen_cached(layout: CompiledCircuit, srs: SRS,
                              dtype=object),
         sigma_comms=np.array([[str(x), str(y)] for x, y in pk.vk.sigma_commitments],
                              dtype=object),
+        map_col=pk.assembly.map_col,
+        map_row=pk.assembly.map_row,
     )
     return pk
 
@@ -138,7 +165,10 @@ def keygen(layout: CompiledCircuit, srs: SRS,
     if _precomputed is not None:
         fixed_comms = _precomputed["fixed_comms"]
 
-    assembly = PERM.build_assembly(cs.perm_columns, n, layout.copy_pairs)
+    if _precomputed is not None and "assembly" in _precomputed:
+        assembly = _precomputed["assembly"]
+    else:
+        assembly = PERM.build_assembly(cs.perm_columns, n, layout.copy_pairs)
     sigma_values = assembly.sigma_values(k)
     id_values = assembly.id_values(k)
     sigma_coeffs = jnp.stack([P.to_coeffs(dom, sigma_values[i])
@@ -168,6 +198,7 @@ def keygen(layout: CompiledCircuit, srs: SRS,
         vk=vk,
         srs=srs,
         layout=layout,
+        assembly=assembly,
         fixed_field=fixed_field,
         fixed_coeffs=fixed_coeffs,
         sigma_values=sigma_values,

@@ -23,8 +23,12 @@ from halo2_aes_tpu.ops import field as F
 FR = F.FR
 
 
-def permuted_indices(packed_input, packed_table, usable: int):
+def permuted_indices(packed_input, table_sorted, table_order, usable: int):
     """Index-level permuted pair construction over rows [0, usable).
+
+    ``table_sorted``/``table_order``: the packed TABLE keys pre-sorted on
+    host with their argsort — the table is fixed at layout time, so its
+    sort never belongs inside the per-proof graph.
 
     Returns (input_perm, table_perm): int32[usable] row permutations such
     that A' = A[input_perm], S' = S[table_perm] satisfy the halo2 lookup
@@ -37,8 +41,8 @@ def permuted_indices(packed_input, packed_table, usable: int):
         [jnp.ones(1, bool), a_sorted[1:] != a_sorted[:-1]]
     )
 
-    s_order = jnp.argsort(packed_table[:usable])
-    s_sorted = jnp.take(packed_table, s_order)
+    s_order = jnp.asarray(table_order)
+    s_sorted = jnp.asarray(table_sorted)
 
     # one table slot per distinct input value (distinct values -> distinct slots)
     slots = jnp.searchsorted(s_sorted, a_sorted)

@@ -66,37 +66,56 @@ def build_assembly(perm_columns, n: int, copy_pairs: np.ndarray) -> PermutationA
     """Union copy pairs into cycles; sigma = one cyclic rotation per class.
 
     copy_pairs: (P, 4) int32 (col_a, row_a, col_b, row_b) global ids;
-    every referenced column must be equality-enabled."""
+    every referenced column must be equality-enabled.
+
+    Fully vectorized: connected components via min-label propagation with
+    pointer doubling (O(log diameter) sweeps over numpy arrays — the
+    per-pair Python union-find this replaces dominated keygen), then one
+    argsort to link every equivalence class into a cycle.
+    """
     m = len(perm_columns)
-    col_pos = {c: i for i, c in enumerate(perm_columns)}
-    parent = np.arange(m * n, dtype=np.int64)
+    N = m * n
+    pairs = np.asarray(copy_pairs, dtype=np.int64).reshape(-1, 4)
+    parent = np.arange(N, dtype=np.int64)
 
-    def find(a):
-        root = a
-        while parent[root] != root:
-            root = parent[root]
-        while parent[a] != root:
-            parent[a], a = root, parent[a]
-        return root
+    if len(pairs):
+        pos_lut = np.full(int(max(perm_columns)) + 1, -1, dtype=np.int64)
+        for i, c in enumerate(perm_columns):
+            pos_lut[c] = i
+        ca, ra, cb, rb = pairs.T
+        pa_, pb_ = pos_lut[ca], pos_lut[cb]
+        assert (pa_ >= 0).all() and (pb_ >= 0).all(), (
+            "copy pair references a column without equality enabled")
+        a = pa_ * n + ra
+        b = pb_ * n + rb
 
-    for ca, ra, cb, rb in np.asarray(copy_pairs, dtype=np.int64):
-        a = col_pos[ca] * n + ra
-        b = col_pos[cb] * n + rb
-        ra_, rb_ = find(a), find(b)
-        if ra_ != rb_:
-            parent[rb_] = ra_
+        while True:
+            # hook: point the larger label at the smaller (dup-safe)
+            la, lb = parent[a], parent[b]
+            lo, hi = np.minimum(la, lb), np.maximum(la, lb)
+            np.minimum.at(parent, hi, lo)
+            # compress: pointer doubling to fixpoint
+            while True:
+                nxt = parent[parent]
+                if np.array_equal(nxt, parent):
+                    break
+                parent = nxt
+            if np.array_equal(parent[a], parent[b]):
+                break
 
-    roots = np.array([find(i) for i in range(m * n)], dtype=np.int64)
+    roots = parent
     # next-in-cycle: stable-sort members by root, link each run circularly
     order = np.argsort(roots, kind="stable")
-    sorted_roots = roots[order]
-    nxt = np.empty(m * n, dtype=np.int64)
-    run_start = 0
-    for i in range(1, m * n + 1):
-        if i == m * n or sorted_roots[i] != sorted_roots[run_start]:
-            members = order[run_start:i]
-            nxt[members] = np.roll(members, -1)
-            run_start = i
+    sr = roots[order]
+    is_start = np.empty(N, dtype=bool)
+    is_start[0] = True
+    np.not_equal(sr[1:], sr[:-1], out=is_start[1:])
+    starts = np.flatnonzero(is_start)
+    nxt_pos = np.arange(1, N + 1, dtype=np.int64)
+    run_ends = np.concatenate([starts[1:] - 1, [N - 1]])
+    nxt_pos[run_ends] = starts
+    nxt = np.empty(N, dtype=np.int64)
+    nxt[order] = order[nxt_pos]
     return PermutationAssembly(
         list(perm_columns),
         (nxt // n).astype(np.int32).reshape(m, n),

@@ -1,24 +1,40 @@
-"""The full KZG/SHPLONK prover.
+"""The full KZG/SHPLONK prover, phase-jitted.
 
 Role of halo2's create_proof with KZGCommitmentScheme + ProverSHPLONK
 (reference src/main.rs:94-101; SURVEY.md section 2.13 item 3), built
 TPU-first: witness columns arrive as one batched tensor, every
 polynomial move is an NTT, every grand product an associative scan,
-every commitment a device MSM; the host only orchestrates transcript
-squeezes and scalar bookkeeping.
+every commitment a device MSM.
+
+Structure: the prover is cut at the Fiat-Shamir squeeze points into
+PHASES.  All device work inside a phase is one (or a few) jitted
+calls on stacked tensors — batched INTTs over all columns at once,
+sub-coset quotient evaluation, weighted SHPLONK folds — and the host
+only squeezes challenges and writes transcript bytes between phases.
+Commitments go through the single jitted MSM (ops/msm.py), compiled
+once per size and reused by every phase.
+
+The quotient is evaluated per SUB-COSET: the extended coset of ratio
+R splits into R interleaved size-n cosets {g w_ext^s w^j}, and the
+constraint fold runs on one at a time (all columns' evals at size n),
+bounding peak memory at ~P*n instead of P*R*n — this is what makes
+k=20 proofs fit in HBM.  Rotations stay intra-coset rolls.
 
 Transcript order (self-consistent with verifier.py):
   vk digest, instance values | advice commits | theta | per lookup:
   A'/S' commits | beta, gamma | permutation z commits | lookup z
-  commits | random-poly commit | y | h piece commits | x | evals in
+  commits | random-poly commit | y | d-1 h piece commits | x | evals in
   protocol.open_queries order (h skipped) | v | SHPLONK h commit | u |
   SHPLONK witness commit.
 """
 
 from __future__ import annotations
 
-import numpy as np
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from halo2_aes_tpu.backend import lookup as LK
 from halo2_aes_tpu.backend import permutation as PERM
@@ -26,10 +42,9 @@ from halo2_aes_tpu.backend import poly as P
 from halo2_aes_tpu.backend import protocol as PROTO
 from halo2_aes_tpu.backend.keygen import ProvingKey
 from halo2_aes_tpu.backend.transcript import TranscriptWriter
-from halo2_aes_tpu.circuit.ir import ADVICE, INSTANCE
 from halo2_aes_tpu.ops import curve as CV
 from halo2_aes_tpu.ops import field as F
-from halo2_aes_tpu.ops.ntt import domain
+from halo2_aes_tpu.ops.ntt import domain, ntt
 
 FR = F.FR
 
@@ -46,50 +61,378 @@ class DeviceAlgebra:
     neg = staticmethod(lambda a: F.neg(FR, a))
 
 
+_R_LIMBS = np.asarray(F.int_to_limbs(FR.modulus), dtype=np.uint32)
+
+
 def _rand_field(rng, *shape):
-    """Uniform-ish random field elements as (..., 16) limb arrays."""
-    limbs = rng.integers(0, 1 << 16, size=(*shape, F.LIMBS), dtype=np.uint32)
-    limbs[..., -1] &= 0x1FFF  # < 2^253 < r
-    return jnp.asarray(limbs)
+    """Exactly-uniform random field elements as (..., 16) limb arrays.
+
+    Blinding-grade randomness: 254-bit candidates drawn from ``rng``
+    (``None`` -> ``os.urandom`` CSPRNG; a ``np.random.Generator`` only
+    for reproducible tests) and rejection-sampled below r (acceptance
+    ~0.73/round), vectorized over limbs.  The values are interpreted as
+    Montgomery representations, so uniformity carries over directly.
+    """
+    import os
+
+    count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    randbytes = os.urandom if rng is None else rng.bytes
+    out = np.zeros((count, F.LIMBS), np.uint32)
+    need = np.ones(count, bool)
+    while need.any():
+        m = int(need.sum())
+        cand = (
+            np.frombuffer(randbytes(32 * m), dtype="<u2")
+            .reshape(m, F.LIMBS)
+            .astype(np.uint32)
+            .copy()
+        )
+        cand[:, -1] &= 0x3FFF  # 254-bit candidates
+        lt = np.zeros(m, bool)
+        gt = np.zeros(m, bool)
+        for i in range(F.LIMBS - 1, -1, -1):
+            li, ri = cand[:, i], _R_LIMBS[i]
+            lt |= ~gt & (li < ri)
+            gt |= ~lt & (li > ri)
+        idx = np.flatnonzero(need)[lt]
+        out[idx] = cand[lt]
+        need[idx] = False
+    return jnp.asarray(out.reshape(*shape, F.LIMBS))
 
 
-class _ProverContext(PROTO.Context):
-    """protocol.Context over extended-coset evaluation tensors."""
+def _pack_u32(cols):
+    """Pack <=4 byte-ranged columns into one sortable uint32 key.
 
-    alg = DeviceAlgebra
+    The ordering of permuted lookup pairs (soundness-neutral but
+    completeness-critical: a wrong order makes honest proofs fail)
+    relies on each component fitting 8 bits; callers assert this (see
+    ``_check_lookup_packable``)."""
+    assert len(cols) <= 4, "u32 packing supports at most 4 lookup pairs"
+    key = jnp.zeros_like(cols[0], dtype=jnp.uint32)
+    for c in cols:
+        key = (key << 8) | c.astype(jnp.uint32)
+    return key
 
-    def __init__(self, pk, ext, ratio):
+
+def _table_sort(layout, lk_index: int, usable: int):
+    """Host-precomputed (sorted keys, argsort) of a lookup's packed table.
+
+    Cached on the layout; the table columns are fixed, so sorting them
+    per proof (or worse, inside a jit where XLA constant-folds the sort
+    at multi-second cost) is pure waste."""
+    cache = layout.meta.setdefault("_prover_table_sort", {})
+    if lk_index not in cache:
+        lk = layout.cs.lookups[lk_index]
+        key = np.zeros(usable, dtype=np.uint32)
+        for _, tc in lk.pairs:
+            key = (key << 8) | layout.fixed[tc][:usable].astype(np.uint32)
+        order = np.argsort(key, kind="stable").astype(np.int32)
+        cache[lk_index] = (key[order], order)
+    return cache[lk_index]
+
+
+def _check_lookup_packable(layout, lk):
+    """Host-side guard: every table column of the lookup is byte-ranged.
+
+    (Input expressions evaluate to table members on honest witnesses, so
+    the table bound covers them; dishonest witnesses only mis-order the
+    permuted pairs, which the lookup argument then rejects.)"""
+    assert len(lk.pairs) <= 4, (
+        f"lookup '{lk.name}' has {len(lk.pairs)} pairs; u32 packing "
+        "supports at most 4"
+    )
+    for _, tc in lk.pairs:
+        hi = int(np.max(layout.fixed[tc]))
+        assert hi < 256, (
+            f"lookup '{lk.name}' table column {tc} holds values up to "
+            f"{hi}; u32 packing requires byte-ranged tables"
+        )
+
+
+class _Int32Alg:
+    @staticmethod
+    def const(v):
+        return jnp.int32(v)
+
+    add = staticmethod(lambda a, b: a + b)
+    mul = staticmethod(lambda a, b: a * b)
+    neg = staticmethod(lambda a: -a)
+
+
+# --------------------------------------------------------------------------
+# sub-coset tables (host, cached)
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _subcoset_tables_np(k: int, ext_k: int, s: int):
+    """Host tables for sub-coset s of the extended coset.
+
+    Returns (shift_powers (n,16): (g w_ext^s)^i, used to move coeffs
+    onto the sub-coset before a size-n NTT; zh_inv (16,): 1/Z_H on the
+    sub-coset — constant there since (g w_ext^s w^j)^n = (g w_ext^s)^n)."""
+    p = FR.modulus
+    n = 1 << k
+    w_ext = domain(FR, ext_k).omega
+    shift = P.GEN * pow(w_ext, s, p) % p
+    shift_powers = FR.host_powers(shift, n)
+    zh_inv = F.int_to_limbs(FR.to_mont_host(pow(pow(shift, n, p) - 1, -1, p)))
+    return shift_powers, zh_inv
+
+
+# --------------------------------------------------------------------------
+# per-pk phase machinery
+# --------------------------------------------------------------------------
+
+
+class _Phases:
+    """Jitted phase functions + static plumbing, built once per pk."""
+
+    def __init__(self, pk: ProvingKey):
         self.pk = pk
-        self.ext = ext          # dict: key -> (ext_n, LIMBS)
-        self.ratio = ratio
-        self.usable = pk.vk.usable
-        self.one = jnp.asarray(FR.one_mont)
+        vk = pk.vk
+        cs = vk.cs
+        layout = pk.layout
+        self.cs = cs
+        self.layout = layout
+        self.k, self.usable = vk.k, vk.usable
+        self.n = layout.n
+        self.ext_k = vk.ext_k
+        self.dom = domain(FR, self.k)
+        self.dom_ext = domain(FR, self.ext_k)
+        self.ratio = self.dom_ext.n // self.n
+        self.bf = self.n - self.usable - 1
+        self.d = cs.degree()
+        self.adv_ids = layout.advice_ids()
+        self.inst_ids = layout.instance_ids()
+        self.chunk_len = cs.permutation_chunk_len()
+        self.chunks = -(-len(cs.perm_columns) // self.chunk_len)
+        self.n_lk = len(cs.lookups)
 
-    def _rot(self, arr, rot):
-        if rot == "u":
-            rot = self.usable
-        return P.rotate_ext(arr, rot, self.ratio)
+        # quotient stack key order (static)
+        needed = set()
+        for _, g in cs.gates:
+            needed |= {c for c, _ in g.columns()}
+        for lk in cs.lookups:
+            for e, tc in lk.pairs:
+                needed |= {c for c, _ in e.columns()}
+                needed.add(tc)
+        needed |= set(cs.perm_columns)
+        self.needed_cols = sorted(needed)
+        keys = [("col", c) for c in self.needed_cols]
+        keys += [("sigma", i) for i in range(len(cs.perm_columns))]
+        keys += [("perm_z", t) for t in range(self.chunks)]
+        for i in range(self.n_lk):
+            keys += [("lookup_z", i), ("lookup_a", i), ("lookup_s", i)]
+        keys += [("l0",), ("l_last",), ("l_active",)]
+        self.q_keys = keys
+        self.q_index = {key: i for i, key in enumerate(keys)}
 
-    def column(self, col, rot):
-        return self._rot(self.ext[("col", col)], rot)
+        self._delta_pows = FR.host_powers(PERM.delta(), len(cs.perm_columns))
 
-    def perm_z(self, t, rot):
-        return self._rot(self.ext[("perm_z", t)], rot)
+        self.advice_phase = jax.jit(self._advice_phase)
+        self.lookup_phase = jax.jit(self._lookup_phase)
+        self.product_phase = jax.jit(self._product_phase)
+        self.quotient_subcoset = jax.jit(self._quotient_subcoset)
+        self.quotient_finish = jax.jit(self._quotient_finish)
+        self.h_combine = jax.jit(self._h_combine)
+        self.shplonk_f = jax.jit(self._shplonk_f)
+        self.shplonk_l = jax.jit(self._shplonk_l)
 
-    def sigma(self, i):
-        return self.ext[("sigma", i)]
+    # -- phase 1: lift all columns to field form, blind advice, INTT ------
 
-    def perm_id(self, i):
-        return self.ext[("id", i)]
+    def _advice_phase(self, values_u32, adv_blinding, inst_vals):
+        """values_u32 (C, n) u32; adv_blinding (A, n-usable, 16);
+        inst_vals (I, n) u32 (authoritative instance values).
 
-    def lookup_z(self, i, rot):
-        return self._rot(self.ext[("lookup_z", i)], rot)
+        Returns (all_fld (C, n, 16), adv_coeffs (A, n, 16),
+        inst_coeffs (I, n, 16))."""
+        usable = self.usable
+        if len(self.inst_ids):
+            values_u32 = values_u32.at[jnp.asarray(self.inst_ids)].set(inst_vals)
+        all_fld = F.u16_to_field(FR, values_u32)
+        adv = all_fld[jnp.asarray(self.adv_ids)]
+        adv = jnp.concatenate([adv[:, :usable], adv_blinding], axis=1)
+        all_fld = all_fld.at[jnp.asarray(self.adv_ids)].set(adv)
+        adv_coeffs = jax.vmap(lambda v: ntt(self.dom, v, inverse=True))(adv)
+        if len(self.inst_ids):
+            inst_fld = all_fld[jnp.asarray(self.inst_ids)]
+            inst_coeffs = jax.vmap(lambda v: ntt(self.dom, v, inverse=True))(
+                inst_fld)
+        else:
+            inst_coeffs = jnp.zeros((0, self.n, F.LIMBS), jnp.uint32)
+        return all_fld, adv_coeffs, inst_coeffs
 
-    def lookup_a(self, i, rot):
-        return self._rot(self.ext[("lookup_a", i)], rot)
+    # -- phase 2: lookup permuted pairs -----------------------------------
 
-    def lookup_s(self, i):
-        return self.ext[("lookup_s", i)]
+    def _lookup_phase(self, values_u32, all_fld, theta_m, bl_a, bl_s):
+        """Returns (a_fld, s_fld, a_prime, s_prime, a_coeffs, s_coeffs)
+        stacked over lookups (L, n, 16)."""
+        usable = self.usable
+
+        def col_fld(col, rot):
+            v = all_fld[col]
+            return jnp.roll(v, -rot, axis=0) if rot else v
+
+        class Ctx(PROTO.Context):
+            alg = DeviceAlgebra
+            theta = theta_m
+            column = staticmethod(col_fld)
+
+        def col_i32(col, rot):
+            v = values_u32[col].astype(jnp.int32)
+            return jnp.roll(v, -rot) if rot else v
+
+        a_flds, s_flds, a_primes, s_primes = [], [], [], []
+        for li, lk in enumerate(self.cs.lookups):
+            a_fld = PROTO.compressed_input(Ctx, lk)
+            s_fld = PROTO.compressed_table(Ctx, lk)
+            packed_a = _pack_u32([e.eval(_Int32Alg, col_i32)
+                                  for e, _ in lk.pairs])
+            t_sorted, t_order = _table_sort(self.layout, li, usable)
+            a_ord, s_ord = LK.permuted_indices(packed_a, t_sorted, t_order,
+                                               usable)
+            a_primes.append(LK.apply_permutation(a_fld[:usable], a_ord,
+                                                 bl_a[li]))
+            s_primes.append(LK.apply_permutation(s_fld[:usable], s_ord,
+                                                 bl_s[li]))
+            a_flds.append(a_fld)
+            s_flds.append(s_fld)
+        a_fld = jnp.stack(a_flds)
+        s_fld = jnp.stack(s_flds)
+        a_prime = jnp.stack(a_primes)
+        s_prime = jnp.stack(s_primes)
+        intt = lambda v: ntt(self.dom, v, inverse=True)  # noqa: E731
+        a_coeffs = jax.vmap(intt)(a_prime)
+        s_coeffs = jax.vmap(intt)(s_prime)
+        return a_fld, s_fld, a_prime, s_prime, a_coeffs, s_coeffs
+
+    # -- phase 3: grand products ------------------------------------------
+
+    def _product_phase(self, all_fld, sigma_values, id_values,
+                       lk_a, lk_s, lk_ap, lk_sp,
+                       beta_m, gamma_m, z_blind, lkz_blind):
+        """Returns (z_perm_coeffs (chunks, n, 16), lkz_coeffs (L, n, 16))."""
+        perm_values = all_fld[jnp.asarray(self.cs.perm_columns)]
+        z_perm = PERM.grand_products(
+            self.k, self.usable, self.chunk_len, perm_values,
+            sigma_values, id_values, beta_m, gamma_m, z_blind,
+        )
+        intt = lambda v: ntt(self.dom, v, inverse=True)  # noqa: E731
+        z_perm_coeffs = jax.vmap(intt)(z_perm)
+        lkzs = []
+        for i in range(self.n_lk):
+            z = LK.grand_product(lk_a[i], lk_s[i], lk_ap[i], lk_sp[i],
+                                 self.usable, beta_m, gamma_m, lkz_blind[i])
+            lkzs.append(z)
+        if lkzs:
+            lkz_coeffs = jax.vmap(intt)(jnp.stack(lkzs))
+        else:
+            lkz_coeffs = jnp.zeros((0, self.n, F.LIMBS), jnp.uint32)
+        return z_perm_coeffs, lkz_coeffs
+
+    # -- phase 4: quotient on sub-cosets ----------------------------------
+
+    def _quotient_subcoset(self, coeff_stack, theta_m, beta_m, gamma_m, y_m,
+                           shift_pows, zh_inv):
+        """One sub-coset's quotient values: NTT every stacked poly onto
+        the coset, fold all constraint terms with y, divide by Z_H."""
+        evals = jax.vmap(
+            lambda v: ntt(self.dom, F.mont_mul(FR, v, shift_pows))
+        )(coeff_stack)
+        by_key = {key: evals[i] for i, key in enumerate(self.q_keys)}
+        pts = F.mont_mul(FR, jnp.asarray(self.dom.omega_powers()),
+                         shift_pows[1])
+        delta_pows = jnp.asarray(self._delta_pows)
+        qidx = self.q_index
+
+        def rot_roll(arr, rot):
+            r = self.usable if rot == "u" else rot
+            return jnp.roll(arr, -r, axis=0) if r else arr
+
+        class Ctx(PROTO.Context):
+            alg = DeviceAlgebra
+            one = jnp.asarray(FR.one_mont)
+            theta, beta, gamma = theta_m, beta_m, gamma_m
+            l0 = by_key[("l0",)]
+            l_last = by_key[("l_last",)]
+            l_active = by_key[("l_active",)]
+            column = staticmethod(
+                lambda col, rot: rot_roll(by_key[("col", col)], rot))
+            perm_z = staticmethod(
+                lambda t, rot: rot_roll(by_key[("perm_z", t)], rot))
+            sigma = staticmethod(lambda i: by_key[("sigma", i)])
+            perm_id = staticmethod(
+                lambda i: F.mont_mul(FR, delta_pows[i], pts))
+            lookup_z = staticmethod(
+                lambda i, rot: rot_roll(by_key[("lookup_z", i)], rot))
+            lookup_a = staticmethod(
+                lambda i, rot: rot_roll(by_key[("lookup_a", i)], rot))
+            lookup_s = staticmethod(lambda i: by_key[("lookup_s", i)])
+
+        del qidx
+        acc = None
+        for term in PROTO.constraint_terms(self.cs, Ctx):
+            acc = term if acc is None else F.add(
+                FR, F.mont_mul(FR, acc, y_m), term)
+        return F.mont_mul(FR, acc, zh_inv)
+
+    def _quotient_finish(self, q_subs):
+        """Interleave sub-coset values back to the extended coset order,
+        INTT, and slice the d-1 live pieces."""
+        n = self.n
+        q_ext = jnp.stack(q_subs, axis=1).reshape(self.dom_ext.n, F.LIMBS)
+        h = P.coset_interp(self.dom_ext, q_ext)
+        return h[: (self.d - 1) * n].reshape(self.d - 1, n, F.LIMBS)
+
+    def _h_combine(self, pieces, xn_pows):
+        """h(X) folded with x^n powers: sum_j xn^j pieces[j]."""
+        scaled = F.mont_mul(FR, pieces, xn_pows[:, None, :])
+        return F.tree_sum(FR, scaled, axis=0)
+
+    # -- phase 6: SHPLONK -------------------------------------------------
+
+    def _shplonk_f(self, poly_stack, corr, zcs):
+        """f(X) = sum_i v^i Z_{T\\S_i}(X) (p_i(X) - r_i(X)).
+
+        poly_stack (G, n, 16); corr (G, Dr, 16): r_i coefficient
+        corrections (Montgomery, zero-padded); zcs (G, D, 16): v^i-scaled
+        Z_{T\\S_i} coefficients by degree.  Returns (n + D - 1, 16)."""
+        G, n = poly_stack.shape[0], poly_stack.shape[1]
+        Dr = corr.shape[1]
+        D = zcs.shape[1]
+        p = poly_stack.at[:, :Dr].set(
+            F.sub(FR, poly_stack[:, :Dr], corr))
+        out = jnp.zeros((n + D - 1, F.LIMBS), jnp.uint32)
+        for dd in range(D):
+            term = F.tree_sum(
+                FR, F.mont_mul(FR, p, zcs[:, dd][:, None, :]), axis=0)
+            out = out.at[dd:dd + n].set(F.add(FR, out[dd:dd + n], term))
+        return out
+
+    def _shplonk_l(self, poly_stack, svals, h_shp, neg_zt_u, const_corr,
+                   u_m):
+        """L(X) and the final witness quotient W' = L/(X-u) coefficients.
+
+        poly_stack (G, n, 16); svals (G, 16): v^i Z_{T\\S_i}(u);
+        h_shp (n, 16); neg_zt_u, const_corr, u_m scalars (16,)."""
+        acc = F.mont_mul(FR, h_shp, neg_zt_u)
+        term = F.tree_sum(
+            FR, F.mont_mul(FR, poly_stack, svals[:, None, :]), axis=0)
+        acc = F.add(FR, acc, term)
+        acc = acc.at[0].set(F.sub(FR, acc[0], const_corr))
+        l_ev = P.coset_evals(self.dom, acc)
+        den = F.sub(FR, _coset_points(self.dom), u_m)
+        return P.coset_interp(
+            self.dom, F.mont_mul(FR, l_ev, F.batch_inv(FR, den)))
+
+
+def _get_phases(pk: ProvingKey) -> _Phases:
+    ph = getattr(pk, "_phases", None)
+    if ph is None:
+        ph = _Phases(pk)
+        pk._phases = ph
+    return ph
 
 
 def _commit_write(tr, pk, coeffs):
@@ -98,31 +441,45 @@ def _commit_write(tr, pk, coeffs):
     return pt
 
 
-def _pack_u32(cols):
-    key = jnp.zeros_like(cols[0], dtype=jnp.uint32)
-    for c in cols:
-        key = (key << 8) | c.astype(jnp.uint32)
-    return key
+def _commit_write_many(tr, pk, coeff_stack):
+    """Commit every row of (B, n, 16), write points in order."""
+    pts = [pk.srs.commit(coeff_stack[i])
+           for i in range(coeff_stack.shape[0])]
+    out = []
+    for jac in pts:
+        pt = CV.to_affine_host(jac)[0]
+        tr.write_point(pt)
+        out.append(pt)
+    return out
+
+
+# --------------------------------------------------------------------------
+# prove
+# --------------------------------------------------------------------------
 
 
 def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
     """values_u32: (num_columns, n) uint32 merged column matrix (from
     circuit.witness.assemble_values) — advice entries are read from it,
     fixed entries are taken from the pk.  instances: list (per instance
-    column) of python-int lists.  Returns proof bytes."""
-    vk = pk.vk
-    cs = vk.cs
-    layout = pk.layout
-    k, n, usable = vk.k, layout.n, vk.usable
-    dom = domain(FR, k)
-    dom_ext = domain(FR, vk.ext_k)
-    ratio = dom_ext.n // n
-    bf = n - usable - 1
-    rng = np.random.default_rng(seed)
+    column) of python-int lists.  Returns proof bytes.
+
+    ``seed`` selects a REPRODUCIBLE blinding stream for tests only; the
+    default (None) draws all blinding from the OS CSPRNG (role of
+    halo2's OsRng in the reference driver, src/main.rs:75)."""
+    ph = _get_phases(pk)
+    vk, cs, layout = pk.vk, pk.vk.cs, pk.layout
+    k, n, usable = ph.k, ph.n, ph.usable
+    bf = ph.bf
+    rng = None if seed is None else np.random.default_rng(seed)
     tr = TranscriptWriter()
 
+    for lk in cs.lookups:
+        _check_lookup_packable(layout, lk)
+
     tr.common_scalar(vk.digest)
-    inst_ids = layout.instance_ids()
+    inst_ids = ph.inst_ids
+    values_np = np.asarray(values_u32)
     if instances is None:
         # default: read instance values out of the assembled matrix (rows
         # the layout mapped, e.g. exposed ciphertext bytes)
@@ -130,180 +487,122 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
         for c in inst_ids:
             mapped = np.nonzero(layout.witness_map[c] >= 0)[0]
             ln = int(mapped.max()) + 1 if len(mapped) else 0
-            instances.append([int(v) for v in np.asarray(values_u32[c][:ln])])
+            instances.append([int(v) for v in values_np[c][:ln]])
     assert len(instances) == len(inst_ids)
     for vals in instances:
         for v in vals:
             tr.common_scalar(int(v))
 
-    # ---- advice columns: lift, blind, commit --------------------------------
-    col_field = dict(pk.fixed_field)
-    advice_coeffs = {}
-    values_u32 = jnp.asarray(values_u32)
-    for c in layout.advice_ids():
-        fld = F.u16_to_field(FR, values_u32[c])
-        fld = jnp.concatenate([fld[:usable], _rand_field(rng, n - usable)])
-        col_field[c] = fld
-        advice_coeffs[c] = P.to_coeffs(dom, fld)
-    for c, vals in zip(inst_ids, instances):
-        arr = np.zeros(n, dtype=np.uint32)
-        arr[: len(vals)] = [int(v) % (1 << 16) for v in vals]
+    inst_arr = np.zeros((len(inst_ids), n), dtype=np.uint32)
+    for i, vals in enumerate(instances):
         assert all(0 <= int(v) < (1 << 16) for v in vals)
-        col_field[c] = F.u16_to_field(FR, jnp.asarray(arr))
-    commitments = {}
-    for c in layout.advice_ids():
-        commitments[("advice", c)] = _commit_write(tr, pk, advice_coeffs[c])
+        inst_arr[i, : len(vals)] = [int(v) % (1 << 16) for v in vals]
+
+    # ---- phase 1: advice lift + blind + INTT + commits ----------------------
+    adv_blinding = _rand_field(rng, len(ph.adv_ids), n - usable)
+    all_fld, adv_coeffs, inst_coeffs = ph.advice_phase(
+        jnp.asarray(values_u32), adv_blinding, jnp.asarray(inst_arr))
+    _commit_write_many(tr, pk, adv_coeffs)
 
     theta = tr.squeeze_challenge()
-    theta_m = DeviceAlgebra.const(theta)
+    theta_m = jnp.asarray(FR.encode(theta))
 
-    # ---- lookups: permuted pairs --------------------------------------------
-    class _BaseCtx(PROTO.Context):
-        alg = DeviceAlgebra
-        theta = theta_m
-
-        @staticmethod
-        def column(col, rot):
-            v = col_field[col]
-            return jnp.roll(v, -rot, axis=0) if rot else v
-
-    lookup_data = []
-    for lk in cs.lookups:
-        a_fld = PROTO.compressed_input(_BaseCtx, lk)
-        s_fld = PROTO.compressed_table(_BaseCtx, lk)
-        packed_a = _pack_u32([e.eval(_Int32Alg, _int32_getter(values_u32)) for e, _ in lk.pairs])
-        packed_s = _pack_u32([values_u32[c] for _, c in lk.pairs])
-        a_ord, s_ord = LK.permuted_indices(packed_a, packed_s, usable)
-        a_prime = LK.apply_permutation(a_fld[:usable], a_ord, _rand_field(rng, n - usable))
-        s_prime = LK.apply_permutation(s_fld[:usable], s_ord, _rand_field(rng, n - usable))
-        lookup_data.append({
-            "a": a_fld, "s": s_fld, "a_prime": a_prime, "s_prime": s_prime,
-            "a_coeffs": P.to_coeffs(dom, a_prime),
-            "s_coeffs": P.to_coeffs(dom, s_prime),
-        })
-    for i, ld in enumerate(lookup_data):
-        commitments[("lookup_a", i)] = _commit_write(tr, pk, ld["a_coeffs"])
-        commitments[("lookup_s", i)] = _commit_write(tr, pk, ld["s_coeffs"])
+    # ---- phase 2: lookup permuted pairs -------------------------------------
+    if ph.n_lk:
+        bl_a = _rand_field(rng, ph.n_lk, n - usable)
+        bl_s = _rand_field(rng, ph.n_lk, n - usable)
+        lk_a, lk_s, lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = ph.lookup_phase(
+            jnp.asarray(values_u32), all_fld, theta_m, bl_a, bl_s)
+        for i in range(ph.n_lk):
+            _commit_write(tr, pk, lk_a_coeffs[i])
+            _commit_write(tr, pk, lk_s_coeffs[i])
+    else:
+        z = jnp.zeros((0, n, F.LIMBS), jnp.uint32)
+        lk_a = lk_s = lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
 
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
     beta_m = jnp.asarray(FR.encode(beta))
     gamma_m = jnp.asarray(FR.encode(gamma))
 
-    # ---- permutation grand products ----------------------------------------
-    chunk_len = cs.permutation_chunk_len()
-    chunks = -(-len(cs.perm_columns) // chunk_len)
-    perm_values = jnp.stack([col_field[c] for c in cs.perm_columns])
-    z_perm = PERM.grand_products(
-        k, usable, chunk_len, perm_values, pk.sigma_values, pk.id_values,
-        beta_m, gamma_m, _rand_field(rng, chunks, bf),
-    )
-    z_perm_coeffs = [P.to_coeffs(dom, z_perm[t]) for t in range(chunks)]
-    for t in range(chunks):
-        commitments[("perm_z", t)] = _commit_write(tr, pk, z_perm_coeffs[t])
-
-    # ---- lookup grand products ----------------------------------------------
-    for i, ld in enumerate(lookup_data):
-        z = LK.grand_product(ld["a"], ld["s"], ld["a_prime"], ld["s_prime"],
-                             usable, beta_m, gamma_m, _rand_field(rng, bf))
-        ld["z"] = z
-        ld["z_coeffs"] = P.to_coeffs(dom, z)
-        commitments[("lookup_z", i)] = _commit_write(tr, pk, ld["z_coeffs"])
-
-    # ---- vanishing random poly ----------------------------------------------
+    # ---- phase 3: grand products + random poly ------------------------------
+    z_blind = _rand_field(rng, ph.chunks, bf)
+    lkz_blind = _rand_field(rng, max(ph.n_lk, 1), bf)
+    z_perm_coeffs, lkz_coeffs = ph.product_phase(
+        all_fld, pk.sigma_values, pk.id_values,
+        lk_a, lk_s, lk_ap, lk_sp, beta_m, gamma_m, z_blind, lkz_blind)
+    _commit_write_many(tr, pk, z_perm_coeffs)
+    if ph.n_lk:
+        _commit_write_many(tr, pk, lkz_coeffs)
     random_coeffs = _rand_field(rng, n)
-    commitments[("random",)] = _commit_write(tr, pk, random_coeffs)
+    _commit_write(tr, pk, random_coeffs)
 
     y = tr.squeeze_challenge()
     y_m = jnp.asarray(FR.encode(y))
 
-    # ---- quotient on the extended coset domain ------------------------------
-    ext = {}
-    needed_cols = set()
-    for _, g in cs.gates:
-        needed_cols |= {c for c, _ in g.columns()}
-    for lk in cs.lookups:
-        for e, tc in lk.pairs:
-            needed_cols |= {c for c, _ in e.columns()}
-            needed_cols.add(tc)
-    needed_cols |= set(cs.perm_columns)
-    for c in needed_cols:
-        src = advice_coeffs.get(c)
-        if src is None:
-            src = pk.fixed_coeffs.get(c)
-        if src is None:
-            src = P.to_coeffs(dom, col_field[c])  # instance
-        ext[("col", c)] = P.coset_evals(dom_ext, src)
-    for i in range(len(cs.perm_columns)):
-        ext[("sigma", i)] = P.coset_evals(dom_ext, pk.sigma_coeffs[i])
-        # id_i(X) = delta^i * X on the coset
-        pts = _coset_points(dom_ext)
-        d_i = jnp.asarray(FR.encode(pow(PERM.delta(), i, FR.modulus)))
-        ext[("id", i)] = F.mont_mul(FR, pts, d_i)
-    for t in range(chunks):
-        ext[("perm_z", t)] = P.coset_evals(dom_ext, z_perm_coeffs[t])
-    for i, ld in enumerate(lookup_data):
-        ext[("lookup_z", i)] = P.coset_evals(dom_ext, ld["z_coeffs"])
-        ext[("lookup_a", i)] = P.coset_evals(dom_ext, ld["a_coeffs"])
-        ext[("lookup_s", i)] = P.coset_evals(dom_ext, ld["s_coeffs"])
-
-    ctx = _ProverContext(pk, ext, ratio)
-    ctx.theta = DeviceAlgebra.const(theta)
-    ctx.beta = jnp.asarray(FR.encode(beta))
-    ctx.gamma = jnp.asarray(FR.encode(gamma))
-    ctx.l0 = P.coset_evals(dom_ext, pk.l0_coeffs)
-    ctx.l_last = P.coset_evals(dom_ext, pk.l_last_coeffs)
-    ctx.l_active = P.coset_evals(dom_ext, pk.l_active_coeffs)
-
-    acc = None
-    for term in PROTO.constraint_terms(cs, ctx):
-        acc = term if acc is None else F.add(FR, F.mont_mul(FR, acc, y_m), term)
-    q_ext = P.divide_by_vanishing(k, dom_ext, acc)
-    h_coeffs = P.coset_interp(dom_ext, q_ext)
-    pieces = [h_coeffs[j * n : (j + 1) * n] for j in range(ratio)]
-    for j, piece in enumerate(pieces):
-        commitments[("h_piece", j)] = _commit_write(tr, pk, piece)
-
-    x = tr.squeeze_challenge()
-    xn = pow(x, n, FR.modulus)
-    h_combined = pieces[0]
-    sc = 1
-    for piece in pieces[1:]:
-        sc = sc * xn % FR.modulus
-        h_combined = F.add(FR, h_combined,
-                           F.mont_mul(FR, piece, jnp.asarray(FR.encode(sc))))
-
-    # ---- evaluations ----------------------------------------------------------
-    def poly_coeffs(key):
+    # ---- phase 4: quotient ----------------------------------------------------
+    def coeffs_for(key):
         kind = key[0]
-        if kind == "advice":
-            return advice_coeffs[key[1]]
-        if kind == "fixed":
-            return pk.fixed_coeffs[key[1]]
+        if kind == "col":
+            c = key[1]
+            if c in ph.adv_ids:
+                return adv_coeffs[ph.adv_ids.index(c)]
+            if c in inst_ids:
+                return inst_coeffs[inst_ids.index(c)]
+            return pk.fixed_coeffs[c]
         if kind == "sigma":
             return pk.sigma_coeffs[key[1]]
         if kind == "perm_z":
             return z_perm_coeffs[key[1]]
         if kind == "lookup_z":
-            return lookup_data[key[1]]["z_coeffs"]
+            return lkz_coeffs[key[1]]
         if kind == "lookup_a":
-            return lookup_data[key[1]]["a_coeffs"]
+            return lk_a_coeffs[key[1]]
         if kind == "lookup_s":
-            return lookup_data[key[1]]["s_coeffs"]
-        if kind == "h":
-            return h_combined
-        if kind == "random":
-            return random_coeffs
+            return lk_s_coeffs[key[1]]
+        if kind == "l0":
+            return pk.l0_coeffs
+        if kind == "l_last":
+            return pk.l_last_coeffs
+        if kind == "l_active":
+            return pk.l_active_coeffs
         raise KeyError(key)
 
-    omega = dom.omega
+    q_stack = jnp.stack([coeffs_for(key) for key in ph.q_keys])
+    q_subs = []
+    for s in range(ph.ratio):
+        shift_np, zh_inv_np = _subcoset_tables_np(k, ph.ext_k, s)
+        q_subs.append(ph.quotient_subcoset(
+            q_stack, theta_m, beta_m, gamma_m, y_m,
+            jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))
+    pieces = ph.quotient_finish(q_subs)
+    _commit_write_many(tr, pk, pieces)
+
+    x = tr.squeeze_challenge()
+    xn = pow(x, n, FR.modulus)
+    xn_pows = jnp.asarray(FR.encode([pow(xn, j, FR.modulus)
+                                     for j in range(ph.d - 1)]))
+    h_combined = ph.h_combine(pieces, xn_pows)
+
+    # ---- evaluations ----------------------------------------------------------
+    def poly_coeffs(key):
+        if key[0] == "advice":
+            return adv_coeffs[ph.adv_ids.index(key[1])]
+        if key[0] == "fixed":
+            return pk.fixed_coeffs[key[1]]
+        if key[0] == "h":
+            return h_combined
+        if key[0] == "random":
+            return random_coeffs
+        return coeffs_for(key)
+
+    omega = ph.dom.omega
 
     def rot_point(rot):
         r = usable if rot == "u" else rot
-        return x * pow(omega, r % dom.n, FR.modulus) % FR.modulus
+        return x * pow(omega, r % n, FR.modulus) % FR.modulus
 
     plan = PROTO.open_queries(cs)
-    # batch evals per distinct rotation
     by_rot = {}
     for key, rot in plan:
         by_rot.setdefault(rot, []).append(key)
@@ -327,55 +626,58 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
                 t_rots.append(r)
     t_points = [rot_point(r) for r in t_rots]
 
-    # f(X) = sum_i v^i Z_{T\S_i}(X) (p_i(X) - r_i(X))
-    f_acc = jnp.zeros((n + len(t_points) - 1, F.LIMBS), jnp.uint32)
-    v_pow = 1
+    # per-group host scalars: r_i interpolations and Z_{T\S_i} coefficients
+    G = len(groups)
+    max_zc = max(len(t_points) - len(rots) + 1 for _, rots in groups)
+    max_corr = max(len(rots) for _, rots in groups)
+    corr_np = np.zeros((G, max_corr, F.LIMBS), np.uint32)
+    zcs_np = np.zeros((G, max_zc, F.LIMBS), np.uint32)
     r_at = {}
+    v_pow = 1
     for gi, (key, rots) in enumerate(groups):
         pts = [rot_point(r) for r in rots]
         evs = [evals[(key, r)] for r in rots]
         r_coeffs = P.lagrange_interp_host(pts, evs)
-        p_m_r = poly_coeffs(key)
-        corr = jnp.asarray(F.ints_to_limbs_fast(
-            [FR.to_mont_host(c) for c in r_coeffs]))
-        p_m_r = p_m_r.at[: len(r_coeffs)].set(
-            F.sub(FR, p_m_r[: len(r_coeffs)], corr))
-        z_rest = P.vanishing_poly_coeffs([p for p in t_points if p not in pts])
-        for d, zc in enumerate(z_rest):
-            s = v_pow * zc % FR.modulus
-            if s:
-                f_acc = f_acc.at[d : d + n].set(F.add(
-                    FR, f_acc[d : d + n],
-                    F.mont_mul(FR, p_m_r, jnp.asarray(FR.encode(s)))))
+        corr_np[gi, : len(r_coeffs)] = F.ints_to_limbs_fast(
+            [FR.to_mont_host(c) for c in r_coeffs])
+        z_rest = P.vanishing_poly_coeffs(
+            [p_ for p_ in t_points if p_ not in pts])
+        zcs_np[gi, : len(z_rest)] = F.ints_to_limbs_fast(
+            [FR.to_mont_host(zc * v_pow % FR.modulus) for zc in z_rest])
         r_at[key] = (pts, evs)
         v_pow = v_pow * v % FR.modulus
+
+    poly_stack = jnp.stack([poly_coeffs(key) for key, _ in groups])
+    f_acc = ph.shplonk_f(poly_stack, jnp.asarray(corr_np),
+                         jnp.asarray(zcs_np))
 
     dom1 = domain(FR, k + 1)
     f_ev = P.coset_evals(dom1, P.pad_coeffs(f_acc, dom1.n))
     zt_ev = _eval_on_coset(dom1, P.vanishing_poly_coeffs(t_points))
-    h_shp = P.coset_interp(dom1, F.mont_mul(FR, f_ev, F.batch_inv(FR, zt_ev)))[:n]
+    h_shp = P.coset_interp(dom1, F.mont_mul(FR, f_ev,
+                                            F.batch_inv(FR, zt_ev)))[:n]
     _commit_write(tr, pk, h_shp)
 
     u = tr.squeeze_challenge()
     zt_u = P.eval_host(P.vanishing_poly_coeffs(t_points), u)
-    l_acc = F.mont_mul(FR, h_shp, jnp.asarray(FR.encode(FR.modulus - zt_u)))
+    svals_np = np.zeros((G, F.LIMBS), np.uint32)
     const_corr = 0
     v_pow = 1
     for gi, (key, rots) in enumerate(groups):
         pts, evs = r_at[key]
         s = v_pow * P.eval_host(
-            P.vanishing_poly_coeffs([p for p in t_points if p not in pts]), u
-        ) % FR.modulus
-        l_acc = F.add(FR, l_acc,
-                      F.mont_mul(FR, poly_coeffs(key), jnp.asarray(FR.encode(s))))
+            P.vanishing_poly_coeffs([p_ for p_ in t_points if p_ not in pts]),
+            u) % FR.modulus
+        svals_np[gi] = F.int_to_limbs(FR.to_mont_host(s))
         r_u = P.eval_host(P.lagrange_interp_host(pts, evs), u)
         const_corr = (const_corr + s * r_u) % FR.modulus
         v_pow = v_pow * v % FR.modulus
-    l_acc = l_acc.at[0].set(F.sub(FR, l_acc[0], jnp.asarray(FR.encode(const_corr))))
 
-    l_ev = P.coset_evals(dom, l_acc)
-    den = F.sub(FR, _coset_points(dom), jnp.asarray(FR.encode(u)))
-    q_w = P.coset_interp(dom, F.mont_mul(FR, l_ev, F.batch_inv(FR, den)))
+    q_w = ph.shplonk_l(
+        poly_stack, jnp.asarray(svals_np), h_shp,
+        jnp.asarray(FR.encode(FR.modulus - zt_u)),
+        jnp.asarray(FR.encode(const_corr)),
+        jnp.asarray(FR.encode(u)))
     _commit_write(tr, pk, q_w)
 
     return tr.finalize()
@@ -384,8 +686,6 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
 # --------------------------------------------------------------------------
 # helpers
 # --------------------------------------------------------------------------
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)
@@ -405,21 +705,3 @@ def _eval_on_coset(dom, coeffs_plain):
         acc = F.add(FR, F.mont_mul(FR, acc, pts),
                     jnp.broadcast_to(jnp.asarray(FR.encode(c)), (dom.n, F.LIMBS)))
     return acc
-
-
-class _Int32Alg:
-    @staticmethod
-    def const(v):
-        return jnp.int32(v)
-
-    add = staticmethod(lambda a, b: a + b)
-    mul = staticmethod(lambda a, b: a * b)
-    neg = staticmethod(lambda a: -a)
-
-
-def _int32_getter(values_u32):
-    def get(col, rot):
-        v = values_u32[col].astype(jnp.int32)
-        return jnp.roll(v, -rot) if rot else v
-
-    return get

@@ -83,9 +83,15 @@ class Transcript:
         self._state = hashlib.blake2b(digest_size=64, person=_PERSON)
 
     def common_point(self, pt) -> None:
-        if pt is None:
-            raise ValueError("cannot absorb the point at infinity")
+        # Identity is absorbed as (0, 0) — a documented deviation from
+        # halo2 (whose transcript panics on identity; halo2 never commits
+        # the zero polynomial, but a degenerate quotient piece or a
+        # zero-poly commitment here must not crash the prover).  See
+        # docs/PROTOCOL.md.
         self._state.update(PREFIX_POINT)
+        if pt is None:
+            self._state.update(bytes(64))
+            return
         self._state.update(pt[0].to_bytes(32, "little"))
         self._state.update(pt[1].to_bytes(32, "little"))
 

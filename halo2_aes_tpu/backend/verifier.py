@@ -48,7 +48,6 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None) -> bool:
     dom = domain(FR, k)
     omega = dom.omega
     chunks = -(-len(cs.perm_columns) // cs.permutation_chunk_len())
-    ratio = 1 << (vk.ext_k - vk.k)
     tr = TranscriptReader(proof)
 
     tr.common_scalar(vk.digest)
@@ -77,7 +76,8 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None) -> bool:
             comms[("lookup_z", i)] = tr.read_point()
         comms[("random",)] = tr.read_point()
         y = tr.squeeze_challenge()
-        h_pieces = [tr.read_point() for _ in range(ratio)]
+        # d-1 quotient pieces (matches the prover; halo2 commits d-1 too)
+        h_pieces = [tr.read_point() for _ in range(cs.degree() - 1)]
         x = tr.squeeze_challenge()
 
         plan = PROTO.open_queries(cs)
@@ -107,6 +107,13 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None) -> bool:
         return x * pow(omega, r % n, R) % R
 
     # ---- expected quotient value at x ---------------------------------------
+    # Guard before ANY (x - w^j)^-1 inversion (lagrange evals here and in
+    # Ctx.column's instance path): a challenge landing in the domain —
+    # negligible honestly, but attacker-influenced via transcript
+    # grinding — must raise VerifyError, not ValueError.
+    zh_x = (pow(x, n, R) - 1) % R
+    if zh_x == 0:
+        raise VerifyError("challenge x in domain")
     blind_rows = list(range(usable + 1, n))
     lag = P.lagrange_evals_host(k, x, [0, usable] + blind_rows)
     l0x, l_lastx = lag[0], lag[1]
@@ -159,11 +166,11 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None) -> bool:
     Ctx.theta, Ctx.beta, Ctx.gamma = theta, beta, gamma
 
     acc = None
-    for term in PROTO.constraint_terms(cs, Ctx):
-        acc = term if acc is None else (acc * y + term) % R
-    zh_x = (pow(x, n, R) - 1) % R
-    if zh_x == 0:
-        raise VerifyError("challenge x in domain")
+    try:
+        for term in PROTO.constraint_terms(cs, Ctx):
+            acc = term if acc is None else (acc * y + term) % R
+    except ValueError as e:  # defensive: any stray inversion failure
+        raise VerifyError(str(e)) from e
     evals[(("h",), 0)] = acc * pow(zh_x, -1, R) % R
 
     # ---- SHPLONK check --------------------------------------------------------

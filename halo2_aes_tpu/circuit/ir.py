@@ -138,6 +138,49 @@ class Prod(Expr):
 # --- constraint system -----------------------------------------------------
 
 
+def expr_bytes(e: Expr) -> bytes:
+    """Canonical byte serialization of an expression tree.
+
+    Prefix notation with fixed-width operands — stable across Python
+    versions and dataclass repr changes (the vk digest hashes this, so
+    ``repr`` instability must never change a verifying key)."""
+    if isinstance(e, Const):
+        return b"C" + (e.value % (1 << 256)).to_bytes(32, "little")
+    if isinstance(e, Ref):
+        return (b"R" + e.column.to_bytes(4, "little", signed=True)
+                + e.rotation.to_bytes(4, "little", signed=True))
+    if isinstance(e, Neg):
+        return b"N" + expr_bytes(e.inner)
+    if isinstance(e, Sum):
+        return b"S" + expr_bytes(e.a) + expr_bytes(e.b)
+    if isinstance(e, Prod):
+        return b"P" + expr_bytes(e.a) + expr_bytes(e.b)
+    raise TypeError(f"unknown expression node {type(e)!r}")
+
+
+def cs_bytes(cs: "ConstraintSystem") -> bytes:
+    """Canonical byte serialization of the whole constraint system."""
+    out = bytearray()
+    out += len(cs.columns).to_bytes(4, "little")
+    for c in cs.columns:
+        out += c.kind.encode() + b"\x00"
+    out += len(cs.gates).to_bytes(4, "little")
+    for name, g in cs.gates:
+        b = expr_bytes(g)
+        out += len(b).to_bytes(4, "little") + b
+    out += len(cs.lookups).to_bytes(4, "little")
+    for lk in cs.lookups:
+        out += len(lk.pairs).to_bytes(4, "little")
+        for e, tc in lk.pairs:
+            b = expr_bytes(e)
+            out += len(b).to_bytes(4, "little") + b
+            out += tc.to_bytes(4, "little")
+    out += len(cs.perm_columns).to_bytes(4, "little")
+    for c in cs.perm_columns:
+        out += c.to_bytes(4, "little")
+    return bytes(out)
+
+
 @dataclass
 class Lookup:
     """One lookup argument: input expressions -> fixed table columns.

@@ -51,6 +51,23 @@ def _pack(components):
     return key
 
 
+def _sorted_table(layout: CompiledCircuit, lk_index: int, usable: int):
+    """Pre-sorted packed table keys for lookup ``lk_index``.
+
+    Computed ONCE on host in numpy and cached on the layout: the table
+    columns are fixed at layout time, and sorting them inside a jit makes
+    XLA constant-fold a 131k-row sort per lookup per compile (multi-
+    second stalls, see MULTICHIP_r01 logs)."""
+    cache = layout.meta.setdefault("_sorted_tables", {})
+    if lk_index not in cache:
+        lk = layout.cs.lookups[lk_index]
+        key = np.zeros(usable, dtype=np.uint32)
+        for _, c in lk.pairs:
+            key = (key << 8) | layout.fixed[c][:usable].astype(np.uint32)
+        cache[lk_index] = np.sort(key)
+    return cache[lk_index]
+
+
 @dataclass
 class MockReport:
     gate_failures: list = dfield(default_factory=list)      # (name, rows)
@@ -99,11 +116,9 @@ def violation_counts(layout: CompiledCircuit, values):
         gate_bad += jnp.sum(((out != 0) & row_ok).astype(jnp.int32))
 
     lookup_bad = jnp.int32(0)
-    for lk in layout.cs.lookups:
+    for i, lk in enumerate(layout.cs.lookups):
         inputs = _pack([e.eval(alg, get) for e, _ in lk.pairs])[:usable]
-        table = _pack([jnp.asarray(layout.fixed[c]).astype(jnp.int32)
-                       for _, c in lk.pairs])[:usable]
-        table_sorted = jnp.sort(table)
+        table_sorted = jnp.asarray(_sorted_table(layout, i, usable))
         pos = jnp.clip(jnp.searchsorted(table_sorted, inputs), 0, usable - 1)
         lookup_bad += jnp.sum((table_sorted[pos] != inputs).astype(jnp.int32))
 
@@ -129,11 +144,9 @@ def check(layout: CompiledCircuit, values) -> MockReport:
         if len(bad):
             report.gate_failures.append((name, bad))
 
-    for lk in layout.cs.lookups:
+    for i, lk in enumerate(layout.cs.lookups):
         inputs = _pack([e.eval(alg, get) for e, _ in lk.pairs])[:usable]
-        table = _pack([jnp.asarray(layout.fixed[c]).astype(jnp.int32)
-                       for _, c in lk.pairs])[:usable]
-        table_sorted = jnp.sort(table)
+        table_sorted = jnp.asarray(_sorted_table(layout, i, usable))
         pos = jnp.searchsorted(table_sorted, inputs)
         pos = jnp.clip(pos, 0, usable - 1)
         ok = table_sorted[pos] == inputs

@@ -2,18 +2,30 @@
 
 The commitment engine's core op (role of halo2's best_multiexp,
 SURVEY.md section 2.13 item 3: "advice commitments (MSM)").  CPU/GPU
-Pippenger scatters points into buckets; TPU has no fast scatter, so each
-window instead does
+Pippenger scatters points into buckets; TPU has no fast scatter, so the
+bucket sums come from a *dyadic reduction tree over digit-sorted
+points*:
 
-  1. argsort point indices by digit                    (one u32 sort),
-  2. segmented inclusive scan with the complete Jacobian
-     adder as combiner -> per-bucket sums at segment ends,
-  3. suffix-sum of buckets via a reversed associative_scan
-     (turns sum_b b*B_b into a sum of suffix sums),
-  4. Horner window fold: acc = 2^c * acc + S_w.
+  1. per window, sort (digit << idx_bits | index) — one u32 sort,
+  2. gather points into sorted order and build a binary reduction tree
+     bottom-up: every level is ONE huge batched complete-add over all
+     windows at once (the Pallas fused adder eats these whole),
+  3. for every bucket b, the cumulative prefix C_b = sum of all points
+     with digit <= b is assembled Fenwick-style from <= log2(n)+1 tree
+     nodes (the dyadic decomposition of the prefix length), again as
+     batched adds across all (window, bucket) pairs,
+  4. the window sum telescopes with NO per-bucket suffix scan:
+         sum_b b * (C_b - C_{b-1}) = (B-1) * C_{B-1} - sum_{b<B-1} C_b
+     where C_{B-1} is the tree root, so one (2^c - 1)-scalar-mul and one
+     log-depth fold finish the window,
+  5. Horner across windows: acc = 2^c * acc + S_w.
 
-Everything is one ``lax.scan`` over windows, so the traced graph holds a
-single window body regardless of scalar width.
+Work: ~n tree adds + B(log n + 2) extraction adds per window, vs 2n+2B
+for the segmented-scan formulation — and every add sits in a maximal
+batch, which is what the fused Pallas adder and the VPU want.
+
+Windows are processed in memory-bounded groups via ``lax.map`` (the
+tree materializes ~3x the gathered points per window in HBM).
 
 Scalars are PLAIN (non-Montgomery) Fr limb vectors; points are affine
 Montgomery Fq limb pairs (no identities — SRS points never are).
@@ -32,10 +44,22 @@ from halo2_aes_tpu.ops import field as F
 
 SCALAR_BITS = 254
 
+# max gathered-tree elements per window group (~3 GB of tree at 192 B/pt)
+_GROUP_BUDGET = 1 << 22
+
 
 def default_window(n: int) -> int:
-    """Window size balancing 2n seg-scan adds vs 2*2^c bucket adds."""
-    return int(np.clip(int(np.log2(max(n, 2))) - 3, 4, 13))
+    """Window size minimizing W*(n + B*(log2 n + 2)) tree+extract adds."""
+    lg = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    best, best_cost = 8, None
+    for c in range(6, 17):
+        if c + lg > 32:  # digit and index must pack into one u32 key
+            continue
+        w = -(-SCALAR_BITS // c)
+        cost = w * (n + (1 << c) * (lg + 2))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
 
 
 def digit_matrix(scalars, c: int):
@@ -73,18 +97,83 @@ def _tree_add(pts):
     return (x[0], y[0], z[0])
 
 
-def _seg_combine(a, b):
-    """Segmented-scan monoid over (X, Y, Z, seg_id)."""
-    ax, ay, az, aseg = a
-    bx, by, bz, bseg = b
-    s = CV.add((ax, ay, az), (bx, by, bz))
-    same = aseg == bseg
-    return (
-        F.select(same, s[0], bx),
-        F.select(same, s[1], by),
-        F.select(same, s[2], bz),
-        bseg,
+def _double_n(p, times: int):
+    """times sequential doublings as a fori_loop (one doubler in the
+    trace regardless of times — compile-size matters on this host)."""
+    return jax.lax.fori_loop(0, times, lambda _, q: CV.double(q), p)
+
+
+def _window_sums(px, py, digs, c: int, n_real: int):
+    """Per-window bucket-weighted sums.
+
+    px/py: (n_pad, 16) affine Montgomery points (pow-2 padded).
+    digs:  (G, n_pad) int32 digits for a group of G windows
+           (padding rows carry digit 0 and are masked to identity).
+    Returns (x, y, z) each (G, 16): S_w = sum_b b * bucket_b.
+    """
+    G, n_pad = digs.shape
+    lg = n_pad.bit_length() - 1
+    assert 1 << lg == n_pad
+    idx_bits = lg
+    assert c + idx_bits <= 32
+    buckets = 1 << c
+    one = jnp.asarray(CV.FQ.one_mont)
+
+    iota = jnp.arange(n_pad, dtype=jnp.uint32)
+    keys = (digs.astype(jnp.uint32) << idx_bits) | iota[None, :]
+    keys = jnp.sort(keys, axis=1)
+    ds = (keys >> idx_bits).astype(jnp.int32)            # sorted digits
+    order = (keys & jnp.uint32(n_pad - 1)).astype(jnp.int32)
+
+    sx = jnp.take(px, order, axis=0)                     # (G, n_pad, 16)
+    sy = jnp.take(py, order, axis=0)
+    live = order < n_real                                # padding -> identity
+    sz = jnp.where(live[..., None], one, jnp.uint32(0))
+
+    # ---- up-sweep: dyadic interval tree over the sorted order ------------
+    levels = [(sx, sy, sz)]
+    cur = (sx, sy, sz)
+    while cur[0].shape[1] > 1:
+        m = cur[0].shape[1]
+        a = tuple(t.reshape(G, m // 2, 2, F.LIMBS)[:, :, 0] for t in cur)
+        b = tuple(t.reshape(G, m // 2, 2, F.LIMBS)[:, :, 1] for t in cur)
+        cur = CV.add(a, b)
+        levels.append(cur)
+    root = tuple(t[:, 0] for t in cur)                   # (G, 16)
+
+    # ---- Fenwick extraction of C_b = prefix sum of first m_b elements ----
+    bvals = jnp.arange(buckets, dtype=jnp.int32)
+    mcounts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bvals, side="right")
+    )(ds).astype(jnp.int32)                              # (G, B) in [0, n]
+
+    acc = CV.identity((G, buckets))
+    for lvl in range(len(levels)):
+        bit = ((mcounts >> lvl) & 1) == 1                # (G, B)
+        idx = (mcounts >> (lvl + 1)) << 1
+        idx = jnp.clip(idx, 0, levels[lvl][0].shape[1] - 1)
+        gathered = tuple(
+            jnp.take_along_axis(
+                t, idx[:, :, None].astype(jnp.int32), axis=1
+            )
+            for t in levels[lvl]
+        )
+        node = tuple(
+            F.select(bit, g, jnp.broadcast_to(i, g.shape))
+            for g, i in zip(gathered, CV.identity())
+        )
+        acc = CV.add(acc, node)
+
+    # ---- telescoped window sum -------------------------------------------
+    # sum_b b*D_b = (B-1)*C_{B-1} - sum_{b=0}^{B-2} C_b ; C_{B-1} = root
+    last = jnp.arange(buckets) == buckets - 1
+    rest = tuple(
+        F.select(last[None, :], jnp.broadcast_to(i, a.shape), a)
+        for a, i in zip(acc, CV.identity())
     )
+    sum_rest = _tree_add(tuple(jnp.moveaxis(t, 1, 0) for t in rest))
+    scaled = CV.add(_double_n(root, c), CV.neg(root))    # (2^c - 1) * root
+    return CV.add(scaled, CV.neg(sum_rest))
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
@@ -95,48 +184,42 @@ def msm(points, scalars, c: int | None = None):
     scalars: (n, 16) PLAIN Fr limb array.
     Returns a Jacobian point (3 x (16,) limbs, Montgomery).
 
-    Jitted at this boundary: the windowed scan is compiled once per
-    (n, c) and reused across every commitment of a proof.
+    Jitted at this boundary: compiled once per (n, c) and reused across
+    every commitment of a proof.
     """
     px, py = points
     n = px.shape[0]
     if c is None:
         c = default_window(n)
-    buckets = 1 << c
-    digs = digit_matrix(scalars, c)          # (windows, n), LSB window first
-    pz = jnp.broadcast_to(jnp.asarray(CV.FQ.one_mont), px.shape)
-    ident_x, ident_y, ident_z = CV.identity()
-    b_ids = jnp.arange(1, buckets, dtype=jnp.int32)
+    n_pad = max(2, 1 << (n - 1).bit_length())
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        px = jnp.pad(px, pad)
+        py = jnp.pad(py, pad)
 
-    def window_body(acc, d):
-        # Horner: shift accumulator by c bits first (identity-safe)
-        acc = jax.lax.fori_loop(0, c, lambda _, a: CV.double(a), acc)
+    digs = digit_matrix(scalars, c)                      # (W, n), LSB first
+    W = digs.shape[0]
+    if n_pad != n:
+        digs = jnp.pad(digs, ((0, 0), (0, n_pad - n)))
 
-        order = jnp.argsort(d)
-        ds = jnp.take(d, order)
-        sx = jnp.take(px, order, axis=0)
-        sy = jnp.take(py, order, axis=0)
-        sz = pz
-        scan = jax.lax.associative_scan(_seg_combine, (sx, sy, sz, ds), axis=0)
+    group = max(1, min(W, _GROUP_BUDGET // n_pad))
+    n_groups = -(-W // group)
+    if n_groups * group != W:  # pad with all-zero-digit windows (S_w = 0)
+        digs = jnp.pad(digs, ((0, n_groups * group - W), (0, 0)))
+    digs = digs.reshape(n_groups, group, n_pad)
 
-        pos = jnp.searchsorted(ds, b_ids, side="right") - 1
-        present = (jnp.take(ds, jnp.clip(pos, 0)) == b_ids) & (pos >= 0)
-        gx = jnp.take(scan[0], jnp.clip(pos, 0), axis=0)
-        gy = jnp.take(scan[1], jnp.clip(pos, 0), axis=0)
-        gz = jnp.take(scan[2], jnp.clip(pos, 0), axis=0)
-        bx = F.select(present, gx, jnp.broadcast_to(ident_x, gx.shape))
-        by = F.select(present, gy, jnp.broadcast_to(ident_y, gy.shape))
-        bz = F.select(present, gz, jnp.broadcast_to(ident_z, gz.shape))
+    sums = jax.lax.map(
+        lambda d: _window_sums(px, py, d, c, n), digs
+    )                                                    # (n_groups, G, 16) x3
+    sx, sy, sz = (t.reshape(n_groups * group, F.LIMBS) for t in sums)
 
-        # suffix sums T_b = sum_{j >= b} B_j; window sum = sum_b T_b
-        suf = jax.lax.associative_scan(
-            lambda u, v: CV.add(u, v), (bx, by, bz), axis=0, reverse=True
-        )
-        s_w = _tree_add(suf)
-        return CV.add(acc, s_w), None
+    # Horner fold, MSB window first
+    def fold(i, acc):
+        w = W - 1 - i
+        acc = _double_n(acc, c)
+        return CV.add(acc, (sx[w], sy[w], sz[w]))
 
-    acc, _ = jax.lax.scan(window_body, (ident_x, ident_y, ident_z), digs[::-1])
-    return acc
+    return jax.lax.fori_loop(0, W, fold, CV.identity())
 
 
 def msm_host(points, scalars) -> tuple | None:

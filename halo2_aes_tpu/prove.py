@@ -74,7 +74,10 @@ def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
         pool = witness.build_pool(jnp.asarray(key), jnp.asarray(plaintexts))
         values = jax.block_until_ready(witness.assemble_values(layout, pool))
     with timed("prove"):
-        proof = prove(pk, values, seed=seed)
+        # NOTE: the data seed is NOT passed to prove(): blinding always
+        # comes from the OS CSPRNG (reproducible blinding would leak
+        # witness data; reference uses OsRng, src/main.rs:75).
+        proof = prove(pk, values)
     result = {"proof_bytes": len(proof), "timings": timings,
               "blocks": blocks, "k": k, "n_sets": n_sets}
     if do_verify:

@@ -48,13 +48,12 @@ def estimate(layout: CompiledCircuit) -> CostModel:
     chunk_len = cs.permutation_chunk_len()
     chunks = -(-len(cs.perm_columns) // chunk_len) if cs.perm_columns else 0
     degree = cs.degree()
-    ratio = 1 << max(1, (degree - 2).bit_length())
 
     plan = PROTO.open_queries(cs)
     evals = sum(1 for key, _ in plan if key[0] != "h")
-    # advice + 2 per lookup (A', S') + perm z + lookup z + random + h pieces
-    # + 2 shplonk witnesses
-    points = n_adv + 2 * n_lk + chunks + n_lk + 1 + ratio + 2
+    # advice + 2 per lookup (A', S') + perm z + lookup z + random +
+    # d-1 h pieces + 2 shplonk witnesses
+    points = n_adv + 2 * n_lk + chunks + n_lk + 1 + (degree - 1) + 2
     proof_bytes = 32 * (points + evals)
 
     # prover work model

@@ -2,6 +2,9 @@
 
 import jax
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from halo2_aes_tpu.ops import curve as CV
 from halo2_aes_tpu.ops import field as F
@@ -46,3 +49,31 @@ def test_msm_all_zero_scalars_is_identity():
     pts = [CV.py_mul(G, i + 1) for i in range(4)]
     out = M.msm(CV.affine_from_ints(pts), F.ints_to_limbs_fast([0, 0, 0, 0]), c=5)
     assert CV.to_affine_host(out)[0] is None
+
+
+def test_msm_adversarial_digit_distributions():
+    """Cases that stress the tree MSM's complete adder: equal scalars
+    (every tree level doubles), repeated points, byte-ranged scalars
+    (all high windows empty), and a non-power-of-two length."""
+    import random
+
+    pyrng = random.Random(7)
+    pts = [CV.py_mul(G, i + 3) for i in range(8)]
+    # one shape (n=8) for three digit distributions + one non-pow2 (n=6):
+    # XLA-CPU compiles ~90s per distinct shape on this host
+    cases = [
+        (pts, [5] * 8),                                       # all equal
+        ([pts[0]] * 8, [pyrng.randrange(F.FR.modulus) for _ in range(8)]),
+        (pts, [pyrng.randrange(256) for _ in range(8)]),      # byte data
+        (pts[:6], [0, 0, 3, 3, 0, F.FR.modulus - 2]),         # pad to 8
+    ]
+    for pts, scalars in cases:
+        out = M.msm(CV.affine_from_ints(pts), F.ints_to_limbs_fast(scalars), c=5)
+        assert CV.to_affine_host(out)[0] == M.msm_host(pts, scalars)
+
+
+def test_msm_default_window_reasonable():
+    for n in (1 << 10, 1 << 17, 1 << 20):
+        c = M.default_window(n)
+        assert 6 <= c <= 16
+        assert c + max(1, int(np.ceil(np.log2(n)))) <= 32

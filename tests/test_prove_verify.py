@@ -8,6 +8,8 @@ tests (the reference has none, SURVEY.md section 4 gaps)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from halo2_aes_tpu.backend import srs as SRS
 from halo2_aes_tpu.backend.keygen import keygen
 from halo2_aes_tpu.backend.prover import prove
@@ -114,3 +116,59 @@ def test_corrupt_proof_rejected(setup):
     proof[-1] ^= 1
     with pytest.raises(VerifyError):
         verify(pk.vk, bytes(proof))
+
+
+def test_degree4_circuit_zero_top_piece():
+    """d=4 circuit: the extended domain has 4n slots but only d-1=3 live
+    quotient pieces — the prover must commit exactly 3 (the 4th would be
+    the identity point) and the verifier must agree.  Regression for the
+    ratio-vs-(d-1) piece-count bug (ADVICE.md round 1)."""
+    cs = ConstraintSystem()
+    q = cs.fixed_column("q")
+    a0 = cs.advice_column("a0")
+    a1 = cs.advice_column("a1")
+    a2 = cs.advice_column("a2")
+    # q * (a0*a1*a2 - a0) : degree 4
+    cs.create_gate("cube", Prod(Ref(q), Sum(
+        Prod(Prod(Ref(a0), Ref(a1)), Ref(a2)), Neg(Ref(a0)))))
+    cs.enable_equality(a0)
+    cs.enable_equality(a1)
+    assert cs.degree() == 4
+
+    fixed = np.zeros((4, N), dtype=np.uint32)
+    values = np.zeros((4, N), dtype=np.uint32)
+    fixed[q, 1] = 1
+    values[a0, 1], values[a1, 1], values[a2, 1] = 9, 4, 12  # 9*4*12 = 432
+    values[a0, 1] = 0  # 0*..*.. - 0 = 0 satisfies trivially
+    layout = CompiledCircuit(
+        k=K, cs=cs, fixed=fixed,
+        witness_map=np.full((4, N), -1, np.int32),
+        copy_pairs=np.zeros((0, 4), np.int32), pool_len=0,
+    )
+    values += fixed
+    srs = SRS.setup(K, cache_dir=None)
+    pk = keygen(layout, srs)
+    proof = prove(pk, values, seed=3)
+    from halo2_aes_tpu.utils import cost_model
+
+    assert cost_model.estimate(layout).proof_bytes == len(proof)
+    assert verify(pk.vk, proof)
+
+
+def test_keygen_cache_keyed_by_srs_identity(tmp_path):
+    """A same-k SRS with a different tau must MISS the pk cache —
+    aliasing would silently pair stale commitments with a fresh SRS and
+    fail every honest proof (ADVICE.md round 1)."""
+    from halo2_aes_tpu.backend.keygen import keygen_cached, srs_identity
+
+    layout, _ = toy_circuit()
+    srs_a = SRS.setup(K, seed=b"srs-a", cache_dir=None)
+    srs_b = SRS.setup(K, seed=b"srs-b", cache_dir=None)
+    assert srs_identity(srs_a) != srs_identity(srs_b)
+    pk_a = keygen_cached(layout, srs_a, cache_dir=str(tmp_path))
+    pk_b = keygen_cached(layout, srs_b, cache_dir=str(tmp_path))
+    assert pk_a.vk.fixed_commitments != pk_b.vk.fixed_commitments
+    # cache HIT on the same identity reproduces the commitments
+    pk_a2 = keygen_cached(layout, srs_a, cache_dir=str(tmp_path))
+    assert pk_a2.vk.fixed_commitments == pk_a.vk.fixed_commitments
+    assert pk_a2.vk.digest == pk_a.vk.digest
