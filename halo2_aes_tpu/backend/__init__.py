@@ -5,9 +5,11 @@ src/lib.rs:10-13, Cargo.toml:6-11: PSE halo2 vs a HyperPlonk fork behind
 a feature flag): circuit code is written once against a small backend
 interface; the backend is selected at runtime by name.
 
-Currently registered: "kzg-shplonk" (the default, backend/prover.py).
-A multilinear/sumcheck backend can register here without touching any
-circuit or model code.
+Currently registered: "kzg-shplonk" (the default, backend/prover.py)
+and "kzg-gwc" (same pipeline, plonk-style per-point multiopen) — two
+backends sharing the facade, mirroring the reference's halo2-pse /
+hyperplonk switch.  A multilinear/sumcheck backend can register here
+without touching any circuit or model code.
 """
 
 from __future__ import annotations
@@ -33,14 +35,20 @@ def register(backend: Backend) -> None:
 
 def get_backend(name: str = "kzg-shplonk") -> Backend:
     if name not in _REGISTRY:
-        if name == "kzg-shplonk":
+        if name in ("kzg-shplonk", "kzg-gwc"):
+            import functools
+
             from halo2_aes_tpu.backend import keygen as KG
             from halo2_aes_tpu.backend import prover as PV
             from halo2_aes_tpu.backend import srs as S
             from halo2_aes_tpu.backend import verifier as VF
 
-            register(Backend("kzg-shplonk", S.setup, KG.keygen_cached,
-                             PV.prove, VF.verify))
+            engine = name.split("-", 1)[1]
+            register(Backend(
+                name, S.setup, KG.keygen_cached,
+                functools.partial(PV.prove, multiopen=engine),
+                functools.partial(VF.verify, multiopen=engine),
+            ))
         else:
             raise KeyError(
                 f"unknown backend {name!r}; registered: {sorted(_REGISTRY)}"

@@ -186,10 +186,19 @@ def _subcoset_tables_np(k: int, ext_k: int, s: int):
 
 
 class _Phases:
-    """Jitted phase functions + static plumbing, built once per pk."""
+    """Jitted phase functions + static plumbing, built once per pk.
 
-    def __init__(self, pk: ProvingKey):
+    With a ``mesh``, the batched INTT/coset-NTT work routes through the
+    row-sharded distributed NTT (parallel/ntt.py: four-step with an
+    all-to-all over the mesh axis) and commitments through the
+    point-sharded collective MSM (parallel/msm.py) — the multi-device
+    prove path the CPU-mesh dryrun and multi-chip deployments exercise.
+    Small host-side polynomial fixups stay replicated."""
+
+    def __init__(self, pk: ProvingKey, mesh=None, mesh_axis: str = "dp"):
         self.pk = pk
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         vk = pk.vk
         cs = vk.cs
         layout = pk.layout
@@ -230,14 +239,53 @@ class _Phases:
 
         self._delta_pows = FR.host_powers(PERM.delta(), len(cs.perm_columns))
 
-        self.advice_phase = jax.jit(self._advice_phase)
-        self.lookup_phase = jax.jit(self._lookup_phase)
-        self.product_phase = jax.jit(self._product_phase)
-        self.quotient_subcoset = jax.jit(self._quotient_subcoset)
-        self.quotient_finish = jax.jit(self._quotient_finish)
-        self.h_combine = jax.jit(self._h_combine)
-        self.shplonk_f = jax.jit(self._shplonk_f)
-        self.shplonk_l = jax.jit(self._shplonk_l)
+        # phases are jitted in BOTH modes: with a mesh, the sharded
+        # four-step NTTs and their collectives trace inline (nested pjit)
+        # — eager mesh phases cost hundreds of per-op compiles instead
+        wrap = jax.jit
+        self.advice_phase = wrap(self._advice_phase)
+        self.lookup_phase = wrap(self._lookup_phase)
+        self.product_phase = wrap(self._product_phase)
+        self.quotient_subcoset = wrap(self._quotient_subcoset)
+        self.quotient_finish = wrap(self._quotient_finish)
+        self.h_combine = wrap(self._h_combine)
+        self.shplonk_f = wrap(self._shplonk_f)
+        self.shplonk_l = wrap(self._shplonk_l)
+        self.gwc_witness = wrap(self._gwc_witness)
+
+    # -- transform/commit indirections (single-device vs mesh-sharded) ----
+
+    def _ntt_many(self, stack, inverse: bool, shift_pows=None):
+        """Batched size-n transform of (P, n, 16); with a mesh each row
+        runs through the distributed four-step NTT (all-to-all over the
+        mesh axis)."""
+        if shift_pows is not None:
+            stack = F.mont_mul(FR, stack, shift_pows)
+        if self.mesh is None:
+            return jax.vmap(lambda v: ntt(self.dom, v, inverse=inverse))(stack)
+        from halo2_aes_tpu.parallel import ntt as pntt
+
+        rows = [
+            pntt.ntt_sharded(self.mesh, self.mesh_axis, self.dom, stack[i],
+                             inverse=inverse)
+            for i in range(stack.shape[0])
+        ]
+        return jnp.stack(rows)
+
+    def commit(self, coeffs):
+        """KZG commit; point-sharded collective MSM when on a mesh."""
+        if self.mesh is None:
+            return self.pk.srs.commit(coeffs)
+        from halo2_aes_tpu.parallel import msm as pmsm
+
+        srs = self.pk.srs
+        scalars = F.from_mont(FR, coeffs)
+        m = scalars.shape[0]
+        if m < srs.n:
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros((srs.n - m, F.LIMBS), jnp.uint32)])
+        return pmsm.msm_sharded(self.mesh, self.mesh_axis,
+                                (srs.g1_x, srs.g1_y), scalars)
 
     # -- phase 1: lift all columns to field form, blind advice, INTT ------
 
@@ -254,11 +302,10 @@ class _Phases:
         adv = all_fld[jnp.asarray(self.adv_ids)]
         adv = jnp.concatenate([adv[:, :usable], adv_blinding], axis=1)
         all_fld = all_fld.at[jnp.asarray(self.adv_ids)].set(adv)
-        adv_coeffs = jax.vmap(lambda v: ntt(self.dom, v, inverse=True))(adv)
+        adv_coeffs = self._ntt_many(adv, inverse=True)
         if len(self.inst_ids):
             inst_fld = all_fld[jnp.asarray(self.inst_ids)]
-            inst_coeffs = jax.vmap(lambda v: ntt(self.dom, v, inverse=True))(
-                inst_fld)
+            inst_coeffs = self._ntt_many(inst_fld, inverse=True)
         else:
             inst_coeffs = jnp.zeros((0, self.n, F.LIMBS), jnp.uint32)
         return all_fld, adv_coeffs, inst_coeffs
@@ -302,9 +349,8 @@ class _Phases:
         s_fld = jnp.stack(s_flds)
         a_prime = jnp.stack(a_primes)
         s_prime = jnp.stack(s_primes)
-        intt = lambda v: ntt(self.dom, v, inverse=True)  # noqa: E731
-        a_coeffs = jax.vmap(intt)(a_prime)
-        s_coeffs = jax.vmap(intt)(s_prime)
+        a_coeffs = self._ntt_many(a_prime, inverse=True)
+        s_coeffs = self._ntt_many(s_prime, inverse=True)
         return a_fld, s_fld, a_prime, s_prime, a_coeffs, s_coeffs
 
     # -- phase 3: grand products ------------------------------------------
@@ -318,15 +364,14 @@ class _Phases:
             self.k, self.usable, self.chunk_len, perm_values,
             sigma_values, id_values, beta_m, gamma_m, z_blind,
         )
-        intt = lambda v: ntt(self.dom, v, inverse=True)  # noqa: E731
-        z_perm_coeffs = jax.vmap(intt)(z_perm)
+        z_perm_coeffs = self._ntt_many(z_perm, inverse=True)
         lkzs = []
         for i in range(self.n_lk):
             z = LK.grand_product(lk_a[i], lk_s[i], lk_ap[i], lk_sp[i],
                                  self.usable, beta_m, gamma_m, lkz_blind[i])
             lkzs.append(z)
         if lkzs:
-            lkz_coeffs = jax.vmap(intt)(jnp.stack(lkzs))
+            lkz_coeffs = self._ntt_many(jnp.stack(lkzs), inverse=True)
         else:
             lkz_coeffs = jnp.zeros((0, self.n, F.LIMBS), jnp.uint32)
         return z_perm_coeffs, lkz_coeffs
@@ -337,9 +382,8 @@ class _Phases:
                            shift_pows, zh_inv):
         """One sub-coset's quotient values: NTT every stacked poly onto
         the coset, fold all constraint terms with y, divide by Z_H."""
-        evals = jax.vmap(
-            lambda v: ntt(self.dom, F.mont_mul(FR, v, shift_pows))
-        )(coeff_stack)
+        evals = self._ntt_many(coeff_stack, inverse=False,
+                               shift_pows=shift_pows)
         by_key = {key: evals[i] for i, key in enumerate(self.q_keys)}
         pts = F.mont_mul(FR, jnp.asarray(self.dom.omega_powers()),
                          shift_pows[1])
@@ -410,6 +454,20 @@ class _Phases:
             out = out.at[dd:dd + n].set(F.add(FR, out[dd:dd + n], term))
         return out
 
+    def _gwc_witness(self, poly_stack, vpows, eval_m, z_m):
+        """One GWC opening witness W = [(F - F(z)) / (X - z)] where
+        F = sum_j v^j p_j over the polys opened at rotation point z.
+
+        poly_stack (Q, n, 16); vpows (Q, 16); eval_m, z_m scalars (16,).
+        Division runs on the base coset (g w^j never meets z)."""
+        Fp = F.tree_sum(
+            FR, F.mont_mul(FR, poly_stack, vpows[:, None, :]), axis=0)
+        Fp = Fp.at[0].set(F.sub(FR, Fp[0], eval_m))
+        l_ev = P.coset_evals(self.dom, Fp)
+        den = F.sub(FR, _coset_points(self.dom), z_m)
+        return P.coset_interp(
+            self.dom, F.mont_mul(FR, l_ev, F.batch_inv(FR, den)))
+
     def _shplonk_l(self, poly_stack, svals, h_shp, neg_zt_u, const_corr,
                    u_m):
         """L(X) and the final witness quotient W' = L/(X-u) coefficients.
@@ -427,23 +485,26 @@ class _Phases:
             self.dom, F.mont_mul(FR, l_ev, F.batch_inv(FR, den)))
 
 
-def _get_phases(pk: ProvingKey) -> _Phases:
-    ph = getattr(pk, "_phases", None)
-    if ph is None:
-        ph = _Phases(pk)
-        pk._phases = ph
-    return ph
+def _get_phases(pk: ProvingKey, mesh=None, mesh_axis: str = "dp") -> _Phases:
+    cache = getattr(pk, "_phases", None)
+    if cache is None:
+        cache = {}
+        pk._phases = cache
+    key = (id(mesh), mesh_axis)
+    if key not in cache:
+        cache[key] = _Phases(pk, mesh, mesh_axis)
+    return cache[key]
 
 
-def _commit_write(tr, pk, coeffs):
-    pt = CV.to_affine_host(pk.srs.commit(coeffs))[0]
+def _commit_write(tr, ph, coeffs):
+    pt = CV.to_affine_host(ph.commit(coeffs))[0]
     tr.write_point(pt)
     return pt
 
 
-def _commit_write_many(tr, pk, coeff_stack):
+def _commit_write_many(tr, ph, coeff_stack):
     """Commit every row of (B, n, 16), write points in order."""
-    pts = [pk.srs.commit(coeff_stack[i])
+    pts = [ph.commit(coeff_stack[i])
            for i in range(coeff_stack.shape[0])]
     out = []
     for jac in pts:
@@ -458,7 +519,9 @@ def _commit_write_many(tr, pk, coeff_stack):
 # --------------------------------------------------------------------------
 
 
-def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
+def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
+          mesh=None, mesh_axis: str = "dp",
+          multiopen: str = "shplonk") -> bytes:
     """values_u32: (num_columns, n) uint32 merged column matrix (from
     circuit.witness.assemble_values) — advice entries are read from it,
     fixed entries are taken from the pk.  instances: list (per instance
@@ -466,8 +529,12 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
 
     ``seed`` selects a REPRODUCIBLE blinding stream for tests only; the
     default (None) draws all blinding from the OS CSPRNG (role of
-    halo2's OsRng in the reference driver, src/main.rs:75)."""
-    ph = _get_phases(pk)
+    halo2's OsRng in the reference driver, src/main.rs:75).
+
+    ``mesh``/``mesh_axis``: run the heavy transforms/commitments
+    sharded over a jax Mesh (distributed four-step NTT + collective
+    MSM; see _Phases docstring)."""
+    ph = _get_phases(pk, mesh, mesh_axis)
     vk, cs, layout = pk.vk, pk.vk.cs, pk.layout
     k, n, usable = ph.k, ph.n, ph.usable
     bf = ph.bf
@@ -502,7 +569,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
     adv_blinding = _rand_field(rng, len(ph.adv_ids), n - usable)
     all_fld, adv_coeffs, inst_coeffs = ph.advice_phase(
         jnp.asarray(values_u32), adv_blinding, jnp.asarray(inst_arr))
-    _commit_write_many(tr, pk, adv_coeffs)
+    _commit_write_many(tr, ph, adv_coeffs)
 
     theta = tr.squeeze_challenge()
     theta_m = jnp.asarray(FR.encode(theta))
@@ -514,8 +581,8 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
         lk_a, lk_s, lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = ph.lookup_phase(
             jnp.asarray(values_u32), all_fld, theta_m, bl_a, bl_s)
         for i in range(ph.n_lk):
-            _commit_write(tr, pk, lk_a_coeffs[i])
-            _commit_write(tr, pk, lk_s_coeffs[i])
+            _commit_write(tr, ph, lk_a_coeffs[i])
+            _commit_write(tr, ph, lk_s_coeffs[i])
     else:
         z = jnp.zeros((0, n, F.LIMBS), jnp.uint32)
         lk_a = lk_s = lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
@@ -531,11 +598,11 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
     z_perm_coeffs, lkz_coeffs = ph.product_phase(
         all_fld, pk.sigma_values, pk.id_values,
         lk_a, lk_s, lk_ap, lk_sp, beta_m, gamma_m, z_blind, lkz_blind)
-    _commit_write_many(tr, pk, z_perm_coeffs)
+    _commit_write_many(tr, ph, z_perm_coeffs)
     if ph.n_lk:
-        _commit_write_many(tr, pk, lkz_coeffs)
+        _commit_write_many(tr, ph, lkz_coeffs)
     random_coeffs = _rand_field(rng, n)
-    _commit_write(tr, pk, random_coeffs)
+    _commit_write(tr, ph, random_coeffs)
 
     y = tr.squeeze_challenge()
     y_m = jnp.asarray(FR.encode(y))
@@ -576,7 +643,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
             q_stack, theta_m, beta_m, gamma_m, y_m,
             jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))
     pieces = ph.quotient_finish(q_subs)
-    _commit_write_many(tr, pk, pieces)
+    _commit_write_many(tr, ph, pieces)
 
     x = tr.squeeze_challenge()
     xn = pow(x, n, FR.modulus)
@@ -616,6 +683,37 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
         if key[0] != "h":
             tr.write_scalar(evals[(key, rot)])
 
+    # ---- multiopen ------------------------------------------------------------
+    if multiopen == "gwc":
+        # GWC (plonk-style): group queries BY ROTATION POINT; one opening
+        # witness W_i = [(F_i - F_i(z_i))/(X - z_i)] per point, batched by
+        # the verifier with powers of u.  Role of halo2's ProverGWC — the
+        # second proving backend behind the facade (reference
+        # src/lib.rs:10-13 switches backends at compile time).
+        v = tr.squeeze_challenge()
+        rot_order, by_rot_keys = [], {}
+        for key, rot in plan:
+            if rot not in by_rot_keys:
+                by_rot_keys[rot] = []
+                rot_order.append(rot)
+            by_rot_keys[rot].append(key)
+        for rot in rot_order:
+            keys = by_rot_keys[rot]
+            stack = jnp.stack([poly_coeffs(kk) for kk in keys])
+            vp = np.zeros((len(keys), F.LIMBS), np.uint32)
+            acc = 1
+            ev = 0
+            for j, kk in enumerate(keys):
+                vp[j] = F.int_to_limbs(FR.to_mont_host(acc))
+                ev = (ev + acc * evals[(kk, rot)]) % FR.modulus
+                acc = acc * v % FR.modulus
+            w = ph.gwc_witness(stack, jnp.asarray(vp),
+                               jnp.asarray(FR.encode(ev)),
+                               jnp.asarray(FR.encode(rot_point(rot))))
+            _commit_write(tr, ph, w)
+        return tr.finalize()
+
+    assert multiopen == "shplonk", multiopen
     # ---- SHPLONK multiopen ----------------------------------------------------
     v = tr.squeeze_challenge()
     groups = PROTO.group_queries(plan)
@@ -656,7 +754,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
     zt_ev = _eval_on_coset(dom1, P.vanishing_poly_coeffs(t_points))
     h_shp = P.coset_interp(dom1, F.mont_mul(FR, f_ev,
                                             F.batch_inv(FR, zt_ev)))[:n]
-    _commit_write(tr, pk, h_shp)
+    _commit_write(tr, ph, h_shp)
 
     u = tr.squeeze_challenge()
     zt_u = P.eval_host(P.vanishing_poly_coeffs(t_points), u)
@@ -678,7 +776,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
         jnp.asarray(FR.encode(FR.modulus - zt_u)),
         jnp.asarray(FR.encode(const_corr)),
         jnp.asarray(FR.encode(u)))
-    _commit_write(tr, pk, q_w)
+    _commit_write(tr, ph, q_w)
 
     return tr.finalize()
 
@@ -689,11 +787,23 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None) -> bytes:
 
 
 @functools.lru_cache(maxsize=None)
+def _coset_points_np(dom_ext):
+    """numpy (n, 16) Montgomery values of the coset points g * w^j.
+
+    Host-computed and cached as NUMPY: an lru-cached device value built
+    inside a jit trace would leak a tracer into later traces."""
+    p = FR.modulus
+    out = []
+    acc = P.GEN % p
+    w = dom_ext.omega
+    for _ in range(dom_ext.n):
+        out.append(FR.to_mont_host(acc))
+        acc = acc * w % p
+    return F.ints_to_limbs_fast(out)
+
+
 def _coset_points(dom_ext):
-    """(n, 16) Montgomery values of the coset points g * w^j."""
-    pts = FR.host_powers(dom_ext.omega, dom_ext.n)
-    g = jnp.asarray(FR.encode(P.GEN))
-    return F.mont_mul(FR, jnp.asarray(pts), g)
+    return jnp.asarray(_coset_points_np(dom_ext))
 
 
 def _eval_on_coset(dom, coeffs_plain):

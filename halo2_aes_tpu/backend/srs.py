@@ -48,10 +48,23 @@ class SRS:
         return 1 << self.k
 
     def commit(self, coeffs_mont):
-        """Commit a coefficient-form poly ((m, 16) Montgomery, m <= n)."""
+        """Commit a coefficient-form poly ((m, 16) Montgomery, m <= n).
+
+        Uses window-shifted point tables (MSM.build_tables, cached on
+        this SRS) so the device MSM has no sequential Horner tail; short
+        polys are zero-padded (zero scalars land in the skipped bucket
+        0, costing nothing but sort keys)."""
         m = coeffs_mont.shape[0]
         scalars = F.from_mont(FR, coeffs_mont)
-        return MSM.msm((self.g1_x[:m], self.g1_y[:m]), scalars)
+        if m < self.n:
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros((self.n - m, F.LIMBS), jnp.uint32)])
+        c = MSM.default_window(self.n)
+        tables = getattr(self, "_msm_tables", None)
+        if tables is None:
+            tables = MSM.build_tables((self.g1_x, self.g1_y), c)
+            object.__setattr__(self, "_msm_tables", tables)
+        return MSM.msm((self.g1_x, self.g1_y), scalars, c=c, tables=tables)
 
 
 def _host_window_tables(c: int = _WINDOW):
@@ -72,42 +85,48 @@ def _host_window_tables(c: int = _WINDOW):
     return tables
 
 
-def _gen_g1_powers(k: int, tau: int):
-    """[tau^i] G1 for i < 2^k, computed with one batched window-table sum."""
-    n = 1 << k
-    # host: tau^i scalars (plain)
-    scal = np.empty(n, dtype=object)
-    acc = 1
-    for i in range(n):
-        scal[i] = acc
-        acc = acc * tau % FR.modulus
-    limbs = jnp.asarray(F.ints_to_limbs_fast(list(scal)))
+def _points_from_scalars(scalars_plain):
+    """[s_0, s_1, ...] plain ints -> affine ([s_i] G1) limb arrays,
+    computed with one batched fixed-window table sum on device.  All
+    scalars must be nonzero mod r (no identity outputs)."""
+    limbs = jnp.asarray(F.ints_to_limbs_fast([int(s) for s in scalars_plain]))
     tables = jnp.asarray(_host_window_tables())
     digs = MSM.digit_matrix(limbs, _WINDOW)            # (nwin, n)
     one = jnp.asarray(FQ.one_mont)
 
     @jax.jit
     def combine(digs, tables):
-        # gather per-window points, mask digit-0 to identity, tree-add
+        # gather per-window points; digit-0 rows become the projective
+        # identity class (0 : 1 : 0) — X masked to 0, Y to 1, Z to 0
         xs = []
         ys = []
         zs = []
         for w in range(_NWIN):
             pt = jnp.take(tables[w], digs[w], axis=0)   # (n, 2, 16)
-            nz = digs[w] != 0
-            xs.append(pt[:, 0])
-            ys.append(pt[:, 1])
-            zs.append(jnp.where(nz[:, None], one[None, :], jnp.zeros((1, F.LIMBS), jnp.uint32)))
+            nz = (digs[w] != 0)[:, None]
+            xs.append(jnp.where(nz, pt[:, 0], jnp.uint32(0)))
+            ys.append(jnp.where(nz, pt[:, 1], one[None, :]))
+            zs.append(jnp.where(nz, one[None, :], jnp.uint32(0)))
         pts = (jnp.stack(xs), jnp.stack(ys), jnp.stack(zs))  # (nwin, n, 16)
-        jac = MSM._tree_add(pts)
-        # jacobian -> affine (tau^i != 0 so no identities)
-        zinv = F.batch_inv(FQ, jac[2])
-        zi2 = F.square(FQ, zinv)
-        ax = F.mul(FQ, jac[0], zi2)
-        ay = F.mul(FQ, jac[1], F.mul(FQ, zi2, zinv))
+        proj = MSM._tree_add(pts)
+        # projective -> affine (tau^i != 0 so no identities)
+        zinv = F.batch_inv(FQ, proj[2])
+        ax = F.mul(FQ, proj[0], zinv)
+        ay = F.mul(FQ, proj[1], zinv)
         return ax, ay
 
     return combine(digs, tables)
+
+
+def _gen_g1_powers(k: int, tau: int):
+    """[tau^i] G1 for i < 2^k, computed with one batched window-table sum."""
+    n = 1 << k
+    scal = []
+    acc = 1
+    for _ in range(n):
+        scal.append(acc)
+        acc = acc * tau % FR.modulus
+    return _points_from_scalars(scal)
 
 
 def setup(k: int, seed: bytes = b"halo2_aes_tpu dev srs",

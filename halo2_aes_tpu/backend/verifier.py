@@ -40,8 +40,14 @@ class VerifyError(ValueError):
     pass
 
 
-def verify(vk: VerifyingKey, proof: bytes, instances=None) -> bool:
-    """Raises VerifyError on any failure; returns True on success."""
+def verify(vk: VerifyingKey, proof: bytes, instances=None,
+           multiopen: str = "shplonk") -> bool:
+    """Raises VerifyError on any failure; returns True on success.
+
+    ``multiopen`` selects the opening argument: "shplonk" (default,
+    BDFG20) or "gwc" (plonk-style per-point witnesses) — the two
+    KZG backends behind the facade (role of the reference's
+    compile-time backend switch, src/lib.rs:10-13)."""
     cs = vk.cs
     k, usable = vk.k, vk.usable
     n = 1 << k
@@ -173,6 +179,10 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None) -> bool:
         raise VerifyError(str(e)) from e
     evals[(("h",), 0)] = acc * pow(zh_x, -1, R) % R
 
+    if multiopen == "gwc":
+        return _verify_gwc(vk, tr, plan, comms, evals, rot_point)
+    assert multiopen == "shplonk", multiopen
+
     # ---- SHPLONK check --------------------------------------------------------
     v = tr.squeeze_challenge()
     try:
@@ -210,5 +220,52 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None) -> bool:
     lhs = CV.py_add(l_comm, CV.py_mul(w_q, u))
     neg_wq = None if w_q is None else (w_q[0], -w_q[1] % PR.Q)
     if not PR.pairing_product_is_one([(lhs, vk.g2), (neg_wq, vk.s_g2)]):
+        raise VerifyError("pairing check failed")
+    return True
+
+
+def _verify_gwc(vk, tr, plan, comms, evals, rot_point):
+    """GWC batch-opening check: per rotation point z_i the prover sent
+    W_i = [(F_i - F_i(z_i))/(X - z_i)]; the verifier checks
+
+        e(sum_i u^i W_i, [s]_2) = e(sum_i u^i (z_i W_i + [F_i] - e_i G), [1]_2)
+
+    with F_i = sum_j v^j p_j, e_i = sum_j v^j evals over the polys
+    opened at z_i (v-power order = plan order at that point)."""
+    v = tr.squeeze_challenge()
+    rot_order, by_rot = [], {}
+    for key, rot in plan:
+        if rot not in by_rot:
+            by_rot[rot] = []
+            rot_order.append(rot)
+        by_rot[rot].append(key)
+    try:
+        w_comms = [tr.read_point() for _ in rot_order]
+        u = tr.squeeze_challenge()
+        tr.assert_consumed()
+    except ValueError as e:
+        raise VerifyError(str(e)) from e
+
+    lhs = None
+    rhs = None
+    u_pow = 1
+    for rot, w in zip(rot_order, w_comms):
+        z = rot_point(rot)
+        f_comm = None
+        e_val = 0
+        v_pow = 1
+        for key in by_rot[rot]:
+            f_comm = CV.py_add(f_comm, CV.py_mul(comms[key], v_pow))
+            e_val = (e_val + v_pow * evals[(key, rot)]) % R
+            v_pow = v_pow * v % R
+        term = CV.py_add(
+            CV.py_add(CV.py_mul(w, z), f_comm),
+            CV.py_mul((CV.G1_X, CV.G1_Y), -e_val % R),
+        )
+        lhs = CV.py_add(lhs, CV.py_mul(w, u_pow))
+        rhs = CV.py_add(rhs, CV.py_mul(term, u_pow))
+        u_pow = u_pow * u % R
+    neg_rhs = None if rhs is None else (rhs[0], -rhs[1] % PR.Q)
+    if not PR.pairing_product_is_one([(lhs, vk.s_g2), (neg_rhs, vk.g2)]):
         raise VerifyError("pairing check failed")
     return True

@@ -1,15 +1,23 @@
-"""BN254 G1 arithmetic: batched Jacobian point ops on Fq limb vectors.
+"""BN254 G1 arithmetic: batched homogeneous-projective point ops on Fq limbs.
 
 Role of `halo2curves` bn256 G1 in the reference dependency tree
 (reference Cargo.lock:779-781): the group the KZG commitment MSMs live
 in.  TPU-first design: points are structure-of-arrays limb tensors
-(X, Y, Z each ``(..., 16)`` uint32, Montgomery form), and every group
-operation is branch-free — identity/equal/negative special cases are
-resolved with ``where`` selects so the combiner is usable inside
-``associative_scan`` / ``fori_loop`` (the MSM building blocks).
+(X, Y, Z each ``(..., 16)`` uint32, Montgomery form) and every group
+operation uses the Renes-Costello-Batina COMPLETE addition formulas for
+a = 0 prime-order curves (eprint 2015/1060, algorithms 7 and 9):
 
-Curve: y^2 = x^3 + 3 over Fq, prime order r (= Fr modulus).  Identity
-convention: Z == 0 (X, Y ignored).
+  * exception-FREE — identity, doubling, and inverse cases all flow
+    through the same 12-multiply dataflow, no selects, no branches, so
+    the combiner drops straight into scans/loops/trees,
+  * the 12 general-add multiplies schedule into exactly TWO stacked
+    multiply stages (6 independent products each), minimizing both the
+    traced graph and the sequential depth per add — less than half the
+    cost of the Jacobian complete adder this replaces.
+
+Curve: y^2 z = x^3 + 3 z^3 over Fq, prime order r (= Fr modulus).
+Identity convention: Z == 0 (canonically (0 : 1 : 0); any (0 : y!=0 : 0)
+representative is projectively equivalent and handled exactly).
 """
 
 from __future__ import annotations
@@ -21,8 +29,9 @@ from halo2_aes_tpu.ops import field as F
 
 FQ = F.FQ
 B_COEFF = 3
+_B3 = 3 * B_COEFF  # b3 = 9 in the RCB formulas
 
-# generator (FIPS-agnostic curve constant; halo2curves bn256 G1 generator)
+# generator (halo2curves bn256 G1 generator)
 G1_X = 1
 G1_Y = 2
 
@@ -30,7 +39,7 @@ G1_Y = 2
 def identity(shape=()):
     z = F.zeros(shape)
     one = jnp.broadcast_to(jnp.asarray(FQ.one_mont), (*shape, F.LIMBS))
-    return (one, one, z)
+    return (z, one, z)
 
 
 def is_identity(p):
@@ -38,10 +47,15 @@ def is_identity(p):
 
 
 def affine_to_jacobian(xy):
-    """(x, y) Montgomery limb arrays -> Jacobian with Z = 1."""
+    """(x, y) Montgomery limb arrays -> projective with Z = 1.
+
+    (Name kept from the Jacobian era; representation is homogeneous.)"""
     x, y = xy
     z = jnp.broadcast_to(jnp.asarray(FQ.one_mont), x.shape)
     return (x, y, z)
+
+
+affine_to_proj = affine_to_jacobian
 
 
 def neg(p):
@@ -61,35 +75,21 @@ def _bmul(pairs):
     return [out[i] for i in range(len(pairs))]
 
 
-def double(p):
-    """Jacobian doubling, a = 0 (dbl-2009-l).  Identity-safe: Z=0 -> Z3=0.
-
-    4 stacked multiply stages."""
-    X, Y, Z = p
-    A, B, YZ = _bmul([(X, X), (Y, Y), (Y, Z)])
-    XB = F.add(FQ, X, B)
-    C, t = _bmul([(B, B), (XB, XB)])
-    tac = F.sub(FQ, F.sub(FQ, t, A), C)
-    D = F.add(FQ, tac, tac)
-    E = F.add(FQ, F.add(FQ, A, A), A)
-    (Fv,) = _bmul([(E, E)])
-    X3 = F.sub(FQ, Fv, F.add(FQ, D, D))
-    C4 = F.add(FQ, F.add(FQ, C, C), F.add(FQ, C, C))
-    C8 = F.add(FQ, C4, C4)
-    (EDX,) = _bmul([(E, F.sub(FQ, D, X3))])
-    Y3 = F.sub(FQ, EDX, C8)
-    Z3 = F.add(FQ, YZ, YZ)
-    return (X3, Y3, Z3)
+def _mul_b3(a):
+    """9 * a via an add chain (8a + a): 4 vector adds, no multiply."""
+    a2 = F.add(FQ, a, a)
+    a4 = F.add(FQ, a2, a2)
+    a8 = F.add(FQ, a4, a4)
+    return F.add(FQ, a8, a)
 
 
 def add(p, q):
-    """Complete Jacobian addition via select: handles identity on either
-    side, P + P (falls through to double), and P + (-P) (identity).
+    """RCB complete addition (alg. 7, a=0, b3=9): handles identity on
+    either side, P + P, and P + (-P) with NO branches or selects.
 
-    Cost: one general add (6 stacked multiply stages) + one double per
-    call — the price of a branch-free combiner that
-    associative_scan/fori_loop can use.  Large batches route to the
-    fused Pallas kernel when enabled (ops/pallas_curve.py).
+    12 field multiplies in two stacked stages + cheap add chains.
+    Large batches route to the fused Pallas kernel when enabled
+    (ops/pallas_curve.py).
     """
     from halo2_aes_tpu.ops import pallas_curve
 
@@ -98,44 +98,60 @@ def add(p, q):
         return fused
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
-    Z1Z1, Z2Z2, Y1Z2, Y2Z1, Z1Z2 = _bmul(
-        [(Z1, Z1), (Z2, Z2), (Y1, Z2), (Y2, Z1), (Z1, Z2)]
-    )
-    U1, U2, S1, S2 = _bmul(
-        [(X1, Z2Z2), (X2, Z1Z1), (Y1Z2, Z2Z2), (Y2Z1, Z1Z1)]
-    )
-    H = F.sub(FQ, U2, U1)
-    R = F.sub(FQ, S2, S1)
-    HH, RR, Z3 = _bmul([(H, H), (R, R), (Z1Z2, H)])
-    HHH, V = _bmul([(HH, H), (U1, HH)])
-    X3 = F.sub(FQ, F.sub(FQ, RR, HHH), F.add(FQ, V, V))
-    RVX, SH = _bmul([(R, F.sub(FQ, V, X3)), (S1, HHH)])
-    Y3 = F.sub(FQ, RVX, SH)
+    fadd = lambda a, b: F.add(FQ, a, b)  # noqa: E731
+    fsub = lambda a, b: F.sub(FQ, a, b)  # noqa: E731
 
-    p1_inf = is_identity(p)
-    p2_inf = is_identity(q)
-    same_x = F.is_zero(H) & ~p1_inf & ~p2_inf
-    same_y = F.is_zero(R)
-    dbl = double(p)
+    t0, t1, t2, A, B, C = _bmul([
+        (X1, X2), (Y1, Y2), (Z1, Z2),
+        (fadd(X1, Y1), fadd(X2, Y2)),
+        (fadd(Y1, Z1), fadd(Y2, Z2)),
+        (fadd(X1, Z1), fadd(X2, Z2)),
+    ])
+    t3 = fsub(fsub(A, t0), t1)          # X1Y2 + X2Y1
+    t4 = fsub(fsub(B, t1), t2)          # Y1Z2 + Y2Z1
+    xz = fsub(fsub(C, t0), t2)          # X1Z2 + X2Z1
+    t0_3 = fadd(fadd(t0, t0), t0)       # 3 X1X2
+    t2_b = _mul_b3(t2)                  # b3 Z1Z2
+    z3t = fadd(t1, t2_b)
+    t1m = fsub(t1, t2_b)
+    y3b = _mul_b3(xz)                   # b3 (X1Z2 + X2Z1)
 
-    def sel(c, a, b):
-        return F.select(c, a, b)
+    X3a, X3b, Y3a, Y3b, Z3a, Z3b = _bmul([
+        (t4, y3b), (t3, t1m), (y3b, t0_3), (t1m, z3t), (z3t, t4), (t0_3, t3),
+    ])
+    X3 = fsub(X3b, X3a)
+    Y3 = fadd(Y3b, Y3a)
+    Z3 = fadd(Z3a, Z3b)
+    return (X3, Y3, Z3)
 
-    out = []
-    zero = jnp.zeros_like(Z3)
-    for i, (g, d, a1, a2) in enumerate(zip((X3, Y3, Z3), dbl, p, q)):
-        v = sel(same_x & same_y, d, g)            # P + P -> double
-        if i == 2:
-            v = sel(same_x & ~same_y, zero, v)    # P + (-P) -> identity
-        v = sel(p2_inf, a1, v)
-        v = sel(p1_inf, a2, v)
-        out.append(v)
-    return tuple(out)
+
+def double(p):
+    """RCB complete doubling (alg. 9, a=0, b3=9).  Identity-safe.
+
+    8 field multiplies in two stacked stages."""
+    X, Y, Z = p
+    fadd = lambda a, b: F.add(FQ, a, b)  # noqa: E731
+    fsub = lambda a, b: F.sub(FQ, a, b)  # noqa: E731
+
+    t0, t1, t2, t3 = _bmul([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
+    z8 = fadd(t0, t0)
+    z8 = fadd(z8, z8)
+    z8 = fadd(z8, z8)                    # 8 Y^2
+    t2b = _mul_b3(t2)                    # b3 Z^2
+    y3s = fadd(t0, t2b)
+    t2b3 = fadd(fadd(t2b, t2b), t2b)     # 3 b3 Z^2
+    t0m = fsub(t0, t2b3)
+
+    X3a, Z3, Y3a, X3b = _bmul([(t2b, z8), (t1, z8), (t0m, y3s), (t0m, t3)])
+    Y3 = fadd(X3a, Y3a)
+    X3 = fadd(X3b, X3b)
+    return (X3, Y3, Z3)
 
 
 def to_affine_host(p) -> list:
-    """Batched Jacobian (device/host limbs) -> list of (x, y) python ints
-    (plain form), identity -> None.  Host-side; for tests and transcripts."""
+    """Batched projective (device/host limbs) -> list of (x, y) python
+    ints (plain form), identity -> None.  Host-side; for tests and
+    transcripts."""
     X, Y, Z = (np.asarray(c) for c in p)
     X = X.reshape(-1, F.LIMBS)
     Y = Y.reshape(-1, F.LIMBS)
@@ -150,7 +166,7 @@ def to_affine_host(p) -> list:
         x = FQ.from_mont_host(F.limbs_to_int(X[i]))
         y = FQ.from_mont_host(F.limbs_to_int(Y[i]))
         zinv = pow(z, -1, q)
-        out.append((x * zinv * zinv % q, y * zinv * zinv % q * zinv % q))
+        out.append((x * zinv % q, y * zinv % q))
     return out
 
 

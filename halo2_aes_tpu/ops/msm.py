@@ -103,10 +103,13 @@ def _double_n(p, times: int):
     return jax.lax.fori_loop(0, times, lambda _, q: CV.double(q), p)
 
 
-def _window_sums(px, py, digs, c: int, n_real: int):
+def _window_sums(px, py, digs, c: int, n_real: int, tables=None):
     """Per-window bucket-weighted sums.
 
-    px/py: (n_pad, 16) affine Montgomery points (pow-2 padded).
+    px/py: (n_pad, 16) affine Montgomery points (pow-2 padded), shared
+    by every window — OR ``tables`` (G, n_pad, 2, 16): per-window
+    affine points (the 2^{cw}-shifted SRS tables), in which case px/py
+    are ignored and the caller skips the Horner fold entirely.
     digs:  (G, n_pad) int32 digits for a group of G windows
            (padding rows carry digit 0 and are masked to identity).
     Returns (x, y, z) each (G, 16): S_w = sum_b b * bucket_b.
@@ -125,10 +128,19 @@ def _window_sums(px, py, digs, c: int, n_real: int):
     ds = (keys >> idx_bits).astype(jnp.int32)            # sorted digits
     order = (keys & jnp.uint32(n_pad - 1)).astype(jnp.int32)
 
-    sx = jnp.take(px, order, axis=0)                     # (G, n_pad, 16)
-    sy = jnp.take(py, order, axis=0)
-    live = order < n_real                                # padding -> identity
-    sz = jnp.where(live[..., None], one, jnp.uint32(0))
+    if tables is None:
+        sx = jnp.take(px, order, axis=0)                 # (G, n_pad, 16)
+        sy = jnp.take(py, order, axis=0)
+    else:
+        idx3 = order[:, :, None]
+        sx = jnp.take_along_axis(tables[:, :, 0], idx3, axis=1)
+        sy = jnp.take_along_axis(tables[:, :, 1], idx3, axis=1)
+    # padding -> the identity class (0 : y!=0 : 0): the homogeneous
+    # complete adder needs X masked to 0 and Y nonzero, Z = 0.
+    live = (order < n_real)[..., None]
+    sx = jnp.where(live, sx, jnp.uint32(0))
+    sy = jnp.where(live, sy, one)
+    sz = jnp.where(live, one, jnp.uint32(0))
 
     # ---- up-sweep: dyadic interval tree over the sorted order ------------
     levels = [(sx, sy, sz)]
@@ -177,12 +189,65 @@ def _window_sums(px, py, digs, c: int, n_real: int):
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
-def msm(points, scalars, c: int | None = None):
+def _double_c(p, c: int):
+    return jax.lax.fori_loop(0, c, lambda _i, q: CV.double(q), p)
+
+
+@jax.jit
+def _tables_normalize(sx, sy, sz):
+    zinv = F.batch_inv(CV.FQ, sz.reshape(-1, F.LIMBS)).reshape(sz.shape)
+    ax = F.mul(CV.FQ, sx, zinv)
+    ay = F.mul(CV.FQ, sy, zinv)
+    return jnp.stack([ax, ay], axis=2)                   # (W, n, 2, 16)
+
+
+def build_tables(points, c: int):
+    """(W, n, 2, 16) affine window tables T[w][i] = 2^{cw} * P_i.
+
+    One-time per SRS (role of a Pippenger precomputation): with these,
+    ``msm`` needs NO Horner doubling chain — every window's sum is
+    already scaled, so the final fold is a log-depth point sum.
+    Cost: (W-1)*c batched doublings + one batched inversion.
+
+    Deliberately NOT one jitted program, and traced with the Pallas
+    auto-routing OFF: a monolithic scan-of-doubles (or a batch_inv over
+    W*n elements) with Pallas call sites embeds ~90 Mosaic kernel
+    instances in one module, which OOM-kills the remote TPU compile
+    helper.  The XLA path costs a few extra seconds ONCE per SRS."""
+    from halo2_aes_tpu.ops import pallas_curve
+
+    f_flag, c_flag = F._USE_PALLAS, pallas_curve._ENABLED
+    F.set_pallas(False)
+    pallas_curve.set_enabled(False)
+    try:
+        px, py = points
+        one = jnp.broadcast_to(jnp.asarray(CV.FQ.one_mont), px.shape)
+        W = -(-SCALAR_BITS // c)
+        cur = (px, py, one)
+        outs = [cur]
+        for _ in range(W - 1):
+            cur = _double_c(cur, c)
+            outs.append(cur)
+        sx = jnp.stack([o[0] for o in outs])
+        sy = jnp.stack([o[1] for o in outs])
+        sz = jnp.stack([o[2] for o in outs])
+        return _tables_normalize(sx, sy, sz)
+    finally:
+        F.set_pallas(f_flag)
+        pallas_curve.set_enabled(c_flag)
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def msm(points, scalars, c: int | None = None, tables=None):
     """sum_i scalars[i] * points[i].
 
     points:  (x, y) affine Montgomery limb arrays, each (n, 16).
     scalars: (n, 16) PLAIN Fr limb array.
-    Returns a Jacobian point (3 x (16,) limbs, Montgomery).
+    tables:  optional ``build_tables`` output for these points (n must
+             be a power of two): windows are pre-scaled by 2^{cw}, so
+             the sequential Horner doubling chain (the latency tail of
+             the table-less path) disappears.
+    Returns a projective point (3 x (16,) limbs, Montgomery).
 
     Jitted at this boundary: compiled once per (n, c) and reused across
     every commitment of a proof.
@@ -193,12 +258,15 @@ def msm(points, scalars, c: int | None = None):
         c = default_window(n)
     n_pad = max(2, 1 << (n - 1).bit_length())
     if n_pad != n:
+        assert tables is None, "tables require power-of-two n"
         pad = ((0, n_pad - n), (0, 0))
         px = jnp.pad(px, pad)
         py = jnp.pad(py, pad)
 
     digs = digit_matrix(scalars, c)                      # (W, n), LSB first
     W = digs.shape[0]
+    if tables is not None:
+        assert tables.shape[0] == W and tables.shape[1] == n
     if n_pad != n:
         digs = jnp.pad(digs, ((0, 0), (0, n_pad - n)))
 
@@ -207,6 +275,17 @@ def msm(points, scalars, c: int | None = None):
     if n_groups * group != W:  # pad with all-zero-digit windows (S_w = 0)
         digs = jnp.pad(digs, ((0, n_groups * group - W), (0, 0)))
     digs = digs.reshape(n_groups, group, n_pad)
+
+    if tables is not None:
+        tpad = jnp.pad(tables, ((0, n_groups * group - W), (0, 0), (0, 0),
+                                (0, 0))) if n_groups * group != W else tables
+        tpad = tpad.reshape(n_groups, group, n, 2, F.LIMBS)
+        sums = jax.lax.map(
+            lambda args: _window_sums(px, py, args[0], c, n, tables=args[1]),
+            (digs, tpad),
+        )
+        # windows are pre-scaled: the MSM is the plain sum of all sums
+        return _tree_add(tuple(t.reshape(-1, F.LIMBS) for t in sums))
 
     sums = jax.lax.map(
         lambda d: _window_sums(px, py, d, c, n), digs

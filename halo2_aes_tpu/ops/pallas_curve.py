@@ -1,11 +1,13 @@
-"""Fused Pallas kernel for the complete Jacobian point adder.
+"""Fused Pallas kernel for the complete projective point adder.
 
-The MSM's segmented scans spend their time in curve.add; with only the
-multiplies in Pallas (ops/pallas_field.py) the add/sub/select chains
-between them still round-trip HBM.  This kernel keeps the ENTIRE
-complete adder — 16 general-case multiplies, 7 doubling multiplies, the
-carry chains, and the identity/equal/negative selects — in VMEM:
-one HBM read of six coordinate planes, one write of three.
+The MSM's reduction trees spend their time in curve.add; with only the
+multiplies in Pallas (ops/pallas_field.py) the add/sub chains between
+them still round-trip HBM.  This kernel keeps the ENTIRE
+Renes-Costello-Batina complete adder (a=0, alg. 7: 12 general
+multiplies + b3 add-chains) in VMEM: one HBM read of six coordinate
+planes, one write of three.  Being exception-free, the kernel needs no
+identity/equal/negative select logic at all — the dataflow IS the
+group law.
 
 Same algorithm as ops/curve.py add() (kept in lockstep; tests compare
 the two).  Field elements are limb-major (16, BLK) u32 planes.
@@ -105,18 +107,7 @@ def _p_sub(a, b, p_ref):
     )
 
 
-def _p_is_zero(a):
-    m = a[0:1] == 0
-    for i in range(1, LIMBS):
-        m = m & (a[i : i + 1] == 0)
-    return m
-
-
-def _p_sel(mask, a, b):
-    return jnp.where(mask, a, b)
-
-
-# ---- the complete adder ----------------------------------------------------
+# ---- the RCB complete adder ------------------------------------------------
 
 def _kernel(p_ref, n0_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
             x3_ref, y3_ref, z3_ref):
@@ -133,57 +124,29 @@ def _kernel(p_ref, n0_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
     def sub(a, b):
         return _p_sub(a, b, p_ref)
 
-    # general addition (add-2007-bl shape, as in curve.py)
-    Z1Z1 = mul(Z1, Z1)
-    Z2Z2 = mul(Z2, Z2)
-    U1 = mul(X1, Z2Z2)
-    U2 = mul(X2, Z1Z1)
-    S1 = mul(mul(Y1, Z2), Z2Z2)
-    S2 = mul(mul(Y2, Z1), Z1Z1)
-    H = sub(U2, U1)
-    R = sub(S2, S1)
-    HH = mul(H, H)
-    HHH = mul(HH, H)
-    V = mul(U1, HH)
-    RR = mul(R, R)
-    X3 = sub(sub(RR, HHH), add(V, V))
-    Y3 = sub(mul(R, sub(V, X3)), mul(S1, HHH))
-    Z3 = mul(mul(Z1, Z2), H)
+    def mul_b3(a):  # 9a = 8a + a
+        a2 = add(a, a)
+        a4 = add(a2, a2)
+        return add(add(a4, a4), a)
 
-    # doubling branch (dbl-2009-l, as in curve.py)
-    A = mul(X1, X1)
-    B = mul(Y1, Y1)
-    C = mul(B, B)
-    XB = add(X1, B)
-    t = mul(XB, XB)
-    tac = sub(sub(t, A), C)
-    D = add(tac, tac)
-    E = add(add(A, A), A)
-    Fv = mul(E, E)
-    Xd = sub(Fv, add(D, D))
-    C4 = add(add(C, C), add(C, C))
-    C8 = add(C4, C4)
-    Yd = sub(mul(E, sub(D, Xd)), C8)
-    YZ = mul(Y1, Z1)
-    Zd = add(YZ, YZ)
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    A = mul(add(X1, Y1), add(X2, Y2))
+    B = mul(add(Y1, Z1), add(Y2, Z2))
+    C = mul(add(X1, Z1), add(X2, Z2))
+    t3 = sub(sub(A, t0), t1)
+    t4 = sub(sub(B, t1), t2)
+    xz = sub(sub(C, t0), t2)
+    t0_3 = add(add(t0, t0), t0)
+    t2_b = mul_b3(t2)
+    z3t = add(t1, t2_b)
+    t1m = sub(t1, t2_b)
+    y3b = mul_b3(xz)
 
-    p1_inf = _p_is_zero(Z1)
-    p2_inf = _p_is_zero(Z2)
-    same_x = _p_is_zero(H) & ~p1_inf & ~p2_inf
-    same_y = _p_is_zero(R)
-    dbl_case = same_x & same_y
-    inf_case = same_x & ~same_y
-
-    X3 = _p_sel(dbl_case, Xd, X3)
-    Y3 = _p_sel(dbl_case, Yd, Y3)
-    Z3 = _p_sel(dbl_case, Zd, Z3)
-    Z3 = _p_sel(inf_case, jnp.zeros_like(Z3), Z3)
-    X3 = _p_sel(p2_inf, X1, X3)
-    Y3 = _p_sel(p2_inf, Y1, Y3)
-    Z3 = _p_sel(p2_inf, Z1, Z3)
-    X3 = _p_sel(p1_inf, X2, X3)
-    Y3 = _p_sel(p1_inf, Y2, Y3)
-    Z3 = _p_sel(p1_inf, Z2, Z3)
+    X3 = sub(mul(t3, t1m), mul(t4, y3b))
+    Y3 = add(mul(t1m, z3t), mul(y3b, t0_3))
+    Z3 = add(mul(z3t, t4), mul(t0_3, t3))
 
     x3_ref[:] = X3
     y3_ref[:] = Y3
@@ -218,7 +181,10 @@ def _fn(cols: int):
 
 def maybe_add(p, q):
     """Fused complete add for batched (N, 16) coordinate triples; None
-    when the XLA path should handle it (small/odd shapes, CPU)."""
+    when the XLA path should handle it (small/odd shapes, CPU).
+
+    Runs as fixed-width chunks over ONE compiled kernel shape
+    (pallas_field._chunked) so Mosaic compiles exactly once."""
     if not _ENABLED or jax.default_backend() == "cpu":
         return None
     shapes = {c.shape for c in (*p, *q)}
@@ -230,12 +196,8 @@ def maybe_add(p, q):
     rows = int(np.prod(shape[:-1], dtype=np.int64))
     if rows < _MIN_ROWS:
         return None
-    from halo2_aes_tpu.ops.pallas_field import _canon_cols
+    from halo2_aes_tpu.ops.pallas_field import CHUNK, _chunked
 
-    cols = _canon_cols(rows)
-    planes = []
-    for c in (*p, *q):
-        c2 = c.reshape(rows, LIMBS)
-        planes.append(jnp.pad(c2, ((0, cols - rows), (0, 0))).T)
-    x3, y3, z3 = _fn(cols)(*planes)
-    return tuple(v.T[:rows].reshape(shape) for v in (x3, y3, z3))
+    planes = [c.reshape(rows, LIMBS) for c in (*p, *q)]
+    x3, y3, z3 = _chunked(_fn(CHUNK), planes, rows)
+    return tuple(v.reshape(shape) for v in (x3, y3, z3))

@@ -107,6 +107,14 @@ def _fn(modulus: int, n0inv: int, cols: int):
 
 _MIN_ROWS = 4096  # below this the XLA path's dispatch is cheaper
 
+# Every Pallas invocation runs on EXACTLY this many columns; larger
+# batches are processed as a lax.map over chunks.  One shape -> ONE
+# Mosaic kernel compile for the process lifetime (remote Mosaic
+# compiles cost minutes each; round-1 padded per-size and paid one
+# compile per distinct size).  2^15 balances pad waste on mid-size
+# reduction-tree levels against per-chunk launch overhead.
+CHUNK = 1 << 15
+
 
 def available(a, b) -> bool:
     return (
@@ -117,19 +125,41 @@ def available(a, b) -> bool:
 
 
 def _canon_cols(n: int) -> int:
-    """Pad to max(2^16, next power of two): every scan level then shares
-    one kernel compile instead of one per distinct size (remote Mosaic
-    compiles of these kernels cost minutes each)."""
-    return max(1 << 16, 1 << (n - 1).bit_length())
+    """Pad to a multiple of the fixed chunk width."""
+    return -(-n // CHUNK) * CHUNK
+
+
+def _chunked(fn_one, planes, n_out: int):
+    """Run a fixed-(LIMBS, CHUNK) pallas callable over column chunks.
+
+    planes: list of (rows, LIMBS) arrays (row-major); returns the
+    fn_one outputs restacked to (n_out rows, LIMBS) each."""
+    rows = planes[0].shape[0]
+    cols = _canon_cols(rows)
+    nch = cols // CHUNK
+    staged = []
+    for p in planes:
+        pt = jnp.pad(p, ((0, cols - rows), (0, 0))).T      # (LIMBS, cols)
+        staged.append(
+            jnp.moveaxis(pt.reshape(LIMBS, nch, CHUNK), 1, 0))  # (nch, L, C)
+    if nch == 1:
+        outs = fn_one(*(s[0] for s in staged))
+        outs = outs if isinstance(outs, tuple) else (outs,)
+        outs = tuple(o[None] for o in outs)
+    else:
+        outs = jax.lax.map(lambda xs: fn_one(*xs), tuple(staged))
+        if not isinstance(outs, tuple):
+            outs = (outs,)
+    flat = tuple(
+        jnp.moveaxis(o, 0, 1).reshape(LIMBS, cols).T[:n_out] for o in outs
+    )
+    return flat if len(flat) > 1 else flat[0]
 
 
 def _mul2d(spec: F.FieldSpec, a, b):
     n = a.shape[0]
-    cols = _canon_cols(n)
-    at = jnp.pad(a, ((0, cols - n), (0, 0))).T
-    bt = jnp.pad(b, ((0, cols - n), (0, 0))).T
-    out = _fn(spec.modulus, spec.n0inv, cols)(at, bt)
-    return out.T[:n]
+    run = _fn(spec.modulus, spec.n0inv, CHUNK)
+    return _chunked(run, [a, b], n)
 
 
 def maybe_mont_mul(spec: F.FieldSpec, a, b):

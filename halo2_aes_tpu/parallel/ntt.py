@@ -40,13 +40,16 @@ def _twiddle_matrix(dom: Domain, n1: int, n2: int, inverse: bool):
     return jnp.take(full, k1 * j2, axis=0)
 
 
-def ntt_sharded(mesh, axis: str, dom: Domain, x, inverse: bool = False):
-    """Distributed NTT of x (n, LIMBS) over one mesh axis.
+_FN_CACHE: dict = {}
 
-    Works on any mesh (including a single device); the sub-transform
-    sizes are k//2 and k - k//2, so the all-to-all moves each element
-    exactly once.
-    """
+
+def _sharded_fn(mesh, axis: str, dom: Domain, inverse: bool):
+    """Compiled four-step transform, CACHED per (mesh, axis, domain,
+    direction) — building a fresh jit per call would recompile every
+    time (tens of seconds on this host)."""
+    key = (mesh, axis, dom.spec, dom.k, inverse)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
     spec = dom.spec
     k = dom.k
     k1 = k // 2
@@ -54,7 +57,6 @@ def ntt_sharded(mesh, axis: str, dom: Domain, x, inverse: bool = False):
     n1, n2 = 1 << k1, 1 << k2
     dom1 = domain(spec, k1)
     dom2 = domain(spec, k2)
-    tw = _twiddle_matrix(dom, n1, n2, inverse)
 
     by_col = NamedSharding(mesh, P(None, axis, None))
     by_row = NamedSharding(mesh, P(axis, None, None))
@@ -65,11 +67,23 @@ def ntt_sharded(mesh, axis: str, dom: Domain, x, inverse: bool = False):
 
     @functools.partial(jax.jit, out_shardings=flat)
     def run(x):
+        tw = _twiddle_matrix(dom, n1, n2, inverse)
         a = jax.lax.with_sharding_constraint(x.reshape(n1, n2, F.LIMBS), by_col)
         b = F.mont_mul(spec, col_ntt(a), tw)
         c = jax.lax.with_sharding_constraint(b, by_row)   # the all-to-all
         d = row_ntt(c)
         return jnp.swapaxes(d, 0, 1).reshape(dom.n, F.LIMBS)
 
+    _FN_CACHE[key] = run
+    return run
+
+
+def ntt_sharded(mesh, axis: str, dom: Domain, x, inverse: bool = False):
+    """Distributed NTT of x (n, LIMBS) over one mesh axis.
+
+    Works on any mesh (including a single device); the sub-transform
+    sizes are k//2 and k - k//2, so the all-to-all moves each element
+    exactly once.
+    """
     with mesh:
-        return run(x)
+        return _sharded_fn(mesh, axis, dom, inverse)(x)

@@ -38,7 +38,7 @@ class CostModel:
         return json.dumps(self.__dict__, indent=2)
 
 
-def estimate(layout: CompiledCircuit) -> CostModel:
+def estimate(layout: CompiledCircuit, multiopen: str = "shplonk") -> CostModel:
     cs = layout.cs
     kinds = [c.kind for c in cs.columns]
     n_adv = kinds.count(ADVICE)
@@ -52,8 +52,10 @@ def estimate(layout: CompiledCircuit) -> CostModel:
     plan = PROTO.open_queries(cs)
     evals = sum(1 for key, _ in plan if key[0] != "h")
     # advice + 2 per lookup (A', S') + perm z + lookup z + random +
-    # d-1 h pieces + 2 shplonk witnesses
-    points = n_adv + 2 * n_lk + chunks + n_lk + 1 + (degree - 1) + 2
+    # d-1 h pieces + opening witnesses (SHPLONK: 2; GWC: one per
+    # distinct rotation point)
+    n_open = 2 if multiopen == "shplonk" else len({rot for _, rot in plan})
+    points = n_adv + 2 * n_lk + chunks + n_lk + 1 + (degree - 1) + n_open
     proof_bytes = 32 * (points + evals)
 
     # prover work model

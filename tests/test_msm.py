@@ -77,3 +77,18 @@ def test_msm_default_window_reasonable():
         c = M.default_window(n)
         assert 6 <= c <= 16
         assert c + max(1, int(np.ceil(np.log2(n)))) <= 32
+
+
+def test_msm_tables_path_matches_oracle():
+    """Window-shifted table MSM (the SRS commit path: no Horner chain)."""
+    import random
+
+    pyrng = random.Random(5)
+    pts = [CV.py_mul(G, i + 2) for i in range(8)]
+    scalars = [pyrng.randrange(F.FR.modulus) for _ in range(8)]
+    scalars[0] = 0
+    pa = CV.affine_from_ints(pts)
+    sl = F.ints_to_limbs_fast(scalars)
+    tabs = M.build_tables(pa, 5)
+    out = M.msm(pa, sl, c=5, tables=tabs)
+    assert CV.to_affine_host(out)[0] == M.msm_host(pts, scalars)

@@ -45,3 +45,25 @@ def test_msm_sharded_matches_oracle(mesh):
         mesh, "dp", CV.affine_from_ints(pts), F.ints_to_limbs_fast(scalars), c=4
     )
     assert CV.to_affine_host(out)[0] == M.msm_host(pts, scalars)
+
+
+@pytest.mark.slow
+def test_sharded_prove_verify_roundtrip():
+    """Full prove with mesh-sharded NTTs (all-to-all) and collective
+    MSMs (all-gather) verifies against the unchanged host verifier —
+    the prover's multi-chip path end-to-end (SURVEY.md section 5.7-5.8)."""
+    from tests.test_prove_verify import toy_circuit
+    from halo2_aes_tpu.backend import srs as SRS
+    from halo2_aes_tpu.backend.keygen import keygen
+    from halo2_aes_tpu.backend.prover import prove
+    from halo2_aes_tpu.backend.verifier import verify
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("dp",))
+    layout, values = toy_circuit()
+    srs = SRS.setup(layout.k, cache_dir=None)
+    pk = keygen(layout, srs)
+    proof = prove(pk, values, seed=11, mesh=mesh, mesh_axis="dp")
+    assert verify(pk.vk, proof)
+    # sharded and single-device provers share one transcript protocol:
+    # same blinding seed -> byte-identical proofs
+    assert proof == prove(pk, values, seed=11)

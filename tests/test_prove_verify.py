@@ -172,3 +172,28 @@ def test_keygen_cache_keyed_by_srs_identity(tmp_path):
     pk_a2 = keygen_cached(layout, srs_a, cache_dir=str(tmp_path))
     assert pk_a2.vk.fixed_commitments == pk_a.vk.fixed_commitments
     assert pk_a2.vk.digest == pk_a.vk.digest
+
+
+def test_second_backend_gwc_roundtrip(setup):
+    """The backend seam carries a real second proving backend: the same
+    circuit/pk proves and verifies through the kzg-gwc registry entry
+    (plonk-style multiopen), with its own exact proof size, and the two
+    backends' proofs are not interchangeable.  Role of the reference's
+    compile-time backend switch (src/lib.rs:10-13)."""
+    from halo2_aes_tpu.backend import get_backend
+    from halo2_aes_tpu.utils import cost_model
+
+    layout, values, pk = setup
+    gwc = get_backend("kzg-gwc")
+    proof = gwc.prove(pk, values, seed=21)
+    assert gwc.verify(pk.vk, proof)
+    assert cost_model.estimate(layout, multiopen="gwc").proof_bytes == len(proof)
+    # a GWC proof must NOT verify under the SHPLONK verifier
+    shp = get_backend("kzg-shplonk")
+    with pytest.raises(VerifyError):
+        shp.verify(pk.vk, proof)
+    # corrupt witness -> GWC verifier rejects
+    bad = values.copy()
+    bad[6, 2] = 6
+    with pytest.raises(VerifyError):
+        gwc.verify(pk.vk, gwc.prove(pk, bad, seed=22))
