@@ -258,11 +258,27 @@ class _Phases:
     def _ntt_many(self, stack, inverse: bool, shift_pows=None):
         """Batched size-n transform of (P, n, 16); with a mesh each row
         runs through the distributed four-step NTT (all-to-all over the
-        mesh axis)."""
+        mesh axis).
+
+        The single-device path maps over chunks of 8 polys: one wide
+        vmap would materialize ~3x the whole stack at once (the k=20
+        quotient stack alone is ~3 GB)."""
         if shift_pows is not None:
-            stack = F.mont_mul(FR, stack, shift_pows)
+            stack = F.mont_mul_fast(FR, stack, shift_pows)
         if self.mesh is None:
-            return jax.vmap(lambda v: ntt(self.dom, v, inverse=inverse))(stack)
+            one = jax.vmap(lambda v: ntt(self.dom, v, inverse=inverse))
+            Ptot = stack.shape[0]
+            chunk = 8
+            if Ptot <= chunk:
+                return one(stack)
+            n_chunks = -(-Ptot // chunk)
+            pad = n_chunks * chunk - Ptot
+            if pad:
+                stack = jnp.concatenate(
+                    [stack, jnp.zeros((pad, *stack.shape[1:]), stack.dtype)])
+            out = jax.lax.map(one, stack.reshape(n_chunks, chunk,
+                                                 *stack.shape[1:]))
+            return out.reshape(n_chunks * chunk, *stack.shape[1:])[:Ptot]
         from halo2_aes_tpu.parallel import ntt as pntt
 
         rows = [
@@ -534,6 +550,20 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     ``mesh``/``mesh_axis``: run the heavy transforms/commitments
     sharded over a jax Mesh (distributed four-step NTT + collective
     MSM; see _Phases docstring)."""
+    import os
+    import time as _time
+
+    _timing = os.environ.get("HALO2_PROVE_TIMING") == "1"
+    _t0 = _time.perf_counter()
+    _last = [_t0]
+
+    def _tick(name):
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[prove:{name}] +{now - _last[0]:.2f}s "
+                  f"(t={now - _t0:.2f}s)", flush=True)
+            _last[0] = now
+
     ph = _get_phases(pk, mesh, mesh_axis)
     vk, cs, layout = pk.vk, pk.vk.cs, pk.layout
     k, n, usable = ph.k, ph.n, ph.usable
@@ -570,6 +600,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     all_fld, adv_coeffs, inst_coeffs = ph.advice_phase(
         jnp.asarray(values_u32), adv_blinding, jnp.asarray(inst_arr))
     _commit_write_many(tr, ph, adv_coeffs)
+    _tick("advice")
 
     theta = tr.squeeze_challenge()
     theta_m = jnp.asarray(FR.encode(theta))
@@ -587,6 +618,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         z = jnp.zeros((0, n, F.LIMBS), jnp.uint32)
         lk_a = lk_s = lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
 
+    _tick("lookup_permuted")
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
     beta_m = jnp.asarray(FR.encode(beta))
@@ -603,6 +635,10 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         _commit_write_many(tr, ph, lkz_coeffs)
     random_coeffs = _rand_field(rng, n)
     _commit_write(tr, ph, random_coeffs)
+    # evaluation-form tensors are dead past this point; at k=20 they are
+    # gigabytes of HBM the quotient phase needs back
+    del all_fld, lk_a, lk_s, lk_ap, lk_sp
+    _tick("grand_products")
 
     y = tr.squeeze_challenge()
     y_m = jnp.asarray(FR.encode(y))
@@ -644,6 +680,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))
     pieces = ph.quotient_finish(q_subs)
     _commit_write_many(tr, ph, pieces)
+    _tick("quotient")
 
     x = tr.squeeze_challenge()
     xn = pow(x, n, FR.modulus)
@@ -682,6 +719,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     for key, rot in plan:
         if key[0] != "h":
             tr.write_scalar(evals[(key, rot)])
+    _tick("evals")
 
     # ---- multiopen ------------------------------------------------------------
     if multiopen == "gwc":
@@ -777,6 +815,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         jnp.asarray(FR.encode(const_corr)),
         jnp.asarray(FR.encode(u)))
     _commit_write(tr, ph, q_w)
+    _tick("shplonk")
 
     return tr.finalize()
 

@@ -371,15 +371,26 @@ def _mont_mul_impl(a, b, p_limbs, n0inv):
 
 @functools.partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
+    p = jnp.asarray(spec.p_limbs)
+    r = _mont_mul_impl(a, b, p, spec.n0inv)
+    return _cond_sub_p(spec, r)
+
+
+def mont_mul_fast(spec: FieldSpec, a, b):
+    """Montgomery multiply through the Pallas kernel when enabled.
+
+    EXPLICIT-SITE POLICY: every jitted module pays one remote Mosaic
+    compile PER Pallas call site (minutes each, and ~100-site modules
+    OOM-kill the compile helper — see memory/tpu-pallas-compile-rules).
+    So ``mont_mul`` never auto-routes; only a handful of chosen hot
+    sites (the NTT butterfly, the coset shift) call this wrapper."""
     if _USE_PALLAS:
         from halo2_aes_tpu.ops import pallas_field
 
         out = pallas_field.maybe_mont_mul(spec, a, b)
         if out is not None:
             return out
-    p = jnp.asarray(spec.p_limbs)
-    r = _mont_mul_impl(a, b, p, spec.n0inv)
-    return _cond_sub_p(spec, r)
+    return mont_mul(spec, a, b)
 
 
 def mul(spec: FieldSpec, a, b):

@@ -124,7 +124,8 @@ def _ntt_impl(dom: Domain, x, inverse: bool = False):
         lo = jnp.take(x, lo_idx, axis=0)
         hi = jnp.take(x, hi_idx, axis=0)
         tw = jnp.take(tw_full, tw_idx, axis=0)
-        t = F.mont_mul(spec, hi, tw)
+        # the one multiply per stage — an explicit Pallas fast site
+        t = F.mont_mul_fast(spec, hi, tw)
         upper = (j >= half)[:, None]
         return jnp.where(upper, F.sub(spec, lo, t), F.add(spec, lo, t))
 
