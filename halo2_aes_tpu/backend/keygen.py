@@ -169,13 +169,16 @@ def keygen(layout: CompiledCircuit, srs: SRS,
         assembly = _precomputed["assembly"]
     else:
         assembly = PERM.build_assembly(cs.perm_columns, n, layout.copy_pairs)
-    sigma_values = assembly.sigma_values(k)
-    id_values = assembly.id_values(k)
-    sigma_coeffs = jnp.stack([P.to_coeffs(dom, sigma_values[i])
-                              for i in range(sigma_values.shape[0])])
+    m_perm = len(cs.perm_columns)
+    sigma_values = assembly.sigma_values(k)      # FLAT (m*n, 16)
+    id_values = assembly.id_values(k)            # FLAT (m*n, 16)
+    sigma_coeffs = jnp.concatenate([
+        P.to_coeffs(dom, sigma_values[i * n : (i + 1) * n])
+        for i in range(m_perm)
+    ]) if m_perm else jnp.zeros((0, F.LIMBS), jnp.uint32)
     if _precomputed is None:
-        sigma_comms = [_commit_affine(srs, sigma_coeffs[i])
-                       for i in range(sigma_coeffs.shape[0])]
+        sigma_comms = [_commit_affine(srs, sigma_coeffs[i * n : (i + 1) * n])
+                       for i in range(m_perm)]
     else:
         sigma_comms = _precomputed["sigma_comms"]
 

@@ -49,17 +49,26 @@ class PermutationAssembly:
     map_row: np.ndarray         # (m, n) int32
 
     def sigma_values(self, k: int):
-        """(m, n, LIMBS) Montgomery sigma poly evaluations."""
+        """FLAT (m*n, LIMBS) Montgomery sigma poly evaluations (column
+        i's rows at [i*n, (i+1)*n)); rank-2 keeps the TPU lane-packed
+        layout (rank-3 [..., 16] u32 is lane-padded 8x)."""
         omega_pows, delta_pows = _label_tables(k, len(self.perm_columns))
         return F.mont_mul(
             FR,
-            jnp.take(delta_pows, jnp.asarray(self.map_col), axis=0),
-            jnp.take(omega_pows, jnp.asarray(self.map_row), axis=0),
+            jnp.take(delta_pows, jnp.asarray(self.map_col.reshape(-1)), axis=0),
+            jnp.take(omega_pows, jnp.asarray(self.map_row.reshape(-1)), axis=0),
         )
 
     def id_values(self, k: int):
+        """FLAT (m*n, LIMBS): delta^i * omega^j at row i*n + j."""
         omega_pows, delta_pows = _label_tables(k, len(self.perm_columns))
-        return F.mont_mul(FR, delta_pows[:, None, :], omega_pows[None, :, :])
+        m = len(self.perm_columns)
+        n = 1 << k
+        return F.mont_mul(
+            FR,
+            jnp.repeat(delta_pows, n, axis=0),
+            jnp.tile(omega_pows, (m, 1)),
+        )
 
 
 def build_assembly(perm_columns, n: int, copy_pairs: np.ndarray) -> PermutationAssembly:
@@ -127,29 +136,32 @@ def grand_products(k: int, usable: int, chunk_len: int, values, sigmas, ids,
                    beta_m, gamma_m, blinding):
     """Build the chunked permutation grand-product columns.
 
-    values/sigmas/ids: (m, n, LIMBS) Montgomery (values = perm-column
-    evaluations in field form).  beta_m/gamma_m: (16,) Montgomery
-    challenges.  blinding: (chunks, blind_rows, LIMBS) random tail values.
-    Returns (chunks, n, LIMBS); z_t[0] = z_{t-1}[usable] (chunk linking),
-    z_0[0] = 1.
-    """
-    m, n = values.shape[0], values.shape[1]
+    values/sigmas/ids: FLAT (m*n, LIMBS) Montgomery (perm column i's
+    rows at [i*n, (i+1)*n)).  beta_m/gamma_m: (16,) Montgomery
+    challenges.  blinding: (chunks, blind_rows, LIMBS) random tails.
+    Returns FLAT (chunks*n, LIMBS); z_t[0] = z_{t-1}[usable] (chunk
+    linking), z_0[0] = 1.  All device tensors stay rank-2 (TPU
+    lane-padding economics)."""
+    n = 1 << k
+    m = values.shape[0] // n
     chunks = -(-m // chunk_len)
     num = F.add(FR, values, F.add(FR, F.mont_mul(FR, beta_m, ids), gamma_m))
     den = F.add(FR, values, F.add(FR, F.mont_mul(FR, beta_m, sigmas), gamma_m))
-    den_inv = F.batch_inv(FR, den.reshape(-1, F.LIMBS)).reshape(den.shape)
-    ratio = F.mont_mul(FR, num, den_inv)        # (m, n)
+    den_inv = F.batch_inv(FR, den)
+    ratio = F.mont_mul(FR, num, den_inv)        # (m*n, 16)
 
     one = jnp.asarray(FR.one_mont)
-    active = (jnp.arange(n) < usable)[:, None]
+    active = jnp.arange(n) < usable
     zs = []
     init = one
     for t in range(chunks):
-        r = ratio[t * chunk_len : (t + 1) * chunk_len]
-        row_ratio = r[0]
-        for i in range(1, r.shape[0]):
-            row_ratio = F.mont_mul(FR, row_ratio, r[i])
-        row_ratio = F.select(active[:, 0], row_ratio, jnp.broadcast_to(one, row_ratio.shape))
+        cols = range(t * chunk_len, min((t + 1) * chunk_len, m))
+        row_ratio = None
+        for i in cols:
+            r = ratio[i * n : (i + 1) * n]
+            row_ratio = r if row_ratio is None else F.mont_mul(FR, row_ratio, r)
+        row_ratio = F.select(active, row_ratio,
+                             jnp.broadcast_to(one, row_ratio.shape))
         # inclusive scan then shift: z[j] = init * prod_{l<j} ratio[l]
         cum = jax.lax.associative_scan(lambda a, b: F.mont_mul(FR, a, b), row_ratio, axis=0)
         z = jnp.concatenate([jnp.broadcast_to(one, (1, F.LIMBS)), cum[:-1]], axis=0)
@@ -157,4 +169,4 @@ def grand_products(k: int, usable: int, chunk_len: int, values, sigmas, ids,
         init = F.mont_mul(FR, init, cum[usable - 1])  # z_t[usable]
         z = jnp.concatenate([z[: n - blinding.shape[1]], blinding[t]], axis=0)
         zs.append(z)
-    return jnp.stack(zs)
+    return jnp.concatenate(zs)

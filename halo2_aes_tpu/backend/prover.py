@@ -255,38 +255,37 @@ class _Phases:
 
     # -- transform/commit indirections (single-device vs mesh-sharded) ----
 
-    def _ntt_many(self, stack, inverse: bool, shift_pows=None):
-        """Batched size-n transform of (P, n, 16); with a mesh each row
+    def _ntt_many(self, flat, count: int, inverse: bool, shift_pows=None):
+        """count batched size-n transforms over a FLAT (count*n, 16)
+        tensor (poly i at rows [i*n, (i+1)*n)); with a mesh each poly
         runs through the distributed four-step NTT (all-to-all over the
         mesh axis).
 
-        The single-device path maps over chunks of 8 polys: one wide
-        vmap would materialize ~3x the whole stack at once (the k=20
-        quotient stack alone is ~3 GB)."""
+        Everything stays rank-2: rank>=3 u32 [..., 16] tensors are
+        lane-padded 8x on TPU (the k=20 quotient stack would inflate
+        3 GB -> 23 GB).  The single-device path is a fori_loop with one
+        traced NTT instance."""
+        n = self.n
         if shift_pows is not None:
-            stack = F.mont_mul_fast(FR, stack, shift_pows)
+            flat = F.mont_mul_fast(FR, flat, jnp.tile(shift_pows, (count, 1)))
+        if count == 1:
+            if self.mesh is None:
+                return ntt(self.dom, flat, inverse=inverse)
         if self.mesh is None:
-            one = jax.vmap(lambda v: ntt(self.dom, v, inverse=inverse))
-            Ptot = stack.shape[0]
-            chunk = 8
-            if Ptot <= chunk:
-                return one(stack)
-            n_chunks = -(-Ptot // chunk)
-            pad = n_chunks * chunk - Ptot
-            if pad:
-                stack = jnp.concatenate(
-                    [stack, jnp.zeros((pad, *stack.shape[1:]), stack.dtype)])
-            out = jax.lax.map(one, stack.reshape(n_chunks, chunk,
-                                                 *stack.shape[1:]))
-            return out.reshape(n_chunks * chunk, *stack.shape[1:])[:Ptot]
+            def body(i, out):
+                sl = jax.lax.dynamic_slice(flat, (i * n, 0), (n, F.LIMBS))
+                r = ntt(self.dom, sl, inverse=inverse)
+                return jax.lax.dynamic_update_slice(out, r, (i * n, 0))
+
+            return jax.lax.fori_loop(0, count, body, jnp.zeros_like(flat))
         from halo2_aes_tpu.parallel import ntt as pntt
 
         rows = [
-            pntt.ntt_sharded(self.mesh, self.mesh_axis, self.dom, stack[i],
-                             inverse=inverse)
-            for i in range(stack.shape[0])
+            pntt.ntt_sharded(self.mesh, self.mesh_axis, self.dom,
+                             flat[i * n : (i + 1) * n], inverse=inverse)
+            for i in range(count)
         ]
-        return jnp.stack(rows)
+        return jnp.concatenate(rows)
 
     def commit(self, coeffs):
         """KZG commit; point-sharded collective MSM when on a mesh."""
@@ -309,32 +308,36 @@ class _Phases:
         """values_u32 (C, n) u32; adv_blinding (A, n-usable, 16);
         inst_vals (I, n) u32 (authoritative instance values).
 
-        Returns (all_fld (C, n, 16), adv_coeffs (A, n, 16),
-        inst_coeffs (I, n, 16))."""
-        usable = self.usable
+        Returns FLAT tensors: all_fld (C*n, 16) with column c at rows
+        [c*n, (c+1)*n); adv_coeffs (A*n, 16); inst_coeffs (I*n, 16)."""
+        usable, n = self.usable, self.n
         if len(self.inst_ids):
             values_u32 = values_u32.at[jnp.asarray(self.inst_ids)].set(inst_vals)
-        all_fld = F.u16_to_field(FR, values_u32)
-        adv = all_fld[jnp.asarray(self.adv_ids)]
-        adv = jnp.concatenate([adv[:, :usable], adv_blinding], axis=1)
-        all_fld = all_fld.at[jnp.asarray(self.adv_ids)].set(adv)
-        adv_coeffs = self._ntt_many(adv, inverse=True)
+        all_fld = F.u16_to_field(FR, values_u32.reshape(-1))   # (C*n, 16)
+        for i, c in enumerate(self.adv_ids):
+            all_fld = jax.lax.dynamic_update_slice(
+                all_fld, adv_blinding[i], (c * n + usable, 0))
+        adv_flat = jnp.concatenate(
+            [all_fld[c * n : (c + 1) * n] for c in self.adv_ids])
+        adv_coeffs = self._ntt_many(adv_flat, len(self.adv_ids), inverse=True)
         if len(self.inst_ids):
-            inst_fld = all_fld[jnp.asarray(self.inst_ids)]
-            inst_coeffs = self._ntt_many(inst_fld, inverse=True)
+            inst_flat = jnp.concatenate(
+                [all_fld[c * n : (c + 1) * n] for c in self.inst_ids])
+            inst_coeffs = self._ntt_many(inst_flat, len(self.inst_ids),
+                                         inverse=True)
         else:
-            inst_coeffs = jnp.zeros((0, self.n, F.LIMBS), jnp.uint32)
+            inst_coeffs = jnp.zeros((0, F.LIMBS), jnp.uint32)
         return all_fld, adv_coeffs, inst_coeffs
 
     # -- phase 2: lookup permuted pairs -----------------------------------
 
     def _lookup_phase(self, values_u32, all_fld, theta_m, bl_a, bl_s):
         """Returns (a_fld, s_fld, a_prime, s_prime, a_coeffs, s_coeffs)
-        stacked over lookups (L, n, 16)."""
-        usable = self.usable
+        as FLAT (L*n, 16) tensors (lookup i at rows [i*n, (i+1)*n))."""
+        usable, n = self.usable, self.n
 
         def col_fld(col, rot):
-            v = all_fld[col]
+            v = all_fld[col * n : (col + 1) * n]
             return jnp.roll(v, -rot, axis=0) if rot else v
 
         class Ctx(PROTO.Context):
@@ -361,12 +364,12 @@ class _Phases:
                                                  bl_s[li]))
             a_flds.append(a_fld)
             s_flds.append(s_fld)
-        a_fld = jnp.stack(a_flds)
-        s_fld = jnp.stack(s_flds)
-        a_prime = jnp.stack(a_primes)
-        s_prime = jnp.stack(s_primes)
-        a_coeffs = self._ntt_many(a_prime, inverse=True)
-        s_coeffs = self._ntt_many(s_prime, inverse=True)
+        a_fld = jnp.concatenate(a_flds)
+        s_fld = jnp.concatenate(s_flds)
+        a_prime = jnp.concatenate(a_primes)
+        s_prime = jnp.concatenate(s_primes)
+        a_coeffs = self._ntt_many(a_prime, self.n_lk, inverse=True)
+        s_coeffs = self._ntt_many(s_prime, self.n_lk, inverse=True)
         return a_fld, s_fld, a_prime, s_prime, a_coeffs, s_coeffs
 
     # -- phase 3: grand products ------------------------------------------
@@ -374,22 +377,27 @@ class _Phases:
     def _product_phase(self, all_fld, sigma_values, id_values,
                        lk_a, lk_s, lk_ap, lk_sp,
                        beta_m, gamma_m, z_blind, lkz_blind):
-        """Returns (z_perm_coeffs (chunks, n, 16), lkz_coeffs (L, n, 16))."""
-        perm_values = all_fld[jnp.asarray(self.cs.perm_columns)]
+        """Returns FLAT (z_perm_coeffs (chunks*n, 16),
+        lkz_coeffs (L*n, 16))."""
+        n = self.n
+        perm_values = jnp.concatenate(
+            [all_fld[c * n : (c + 1) * n] for c in self.cs.perm_columns])
         z_perm = PERM.grand_products(
             self.k, self.usable, self.chunk_len, perm_values,
             sigma_values, id_values, beta_m, gamma_m, z_blind,
         )
-        z_perm_coeffs = self._ntt_many(z_perm, inverse=True)
+        z_perm_coeffs = self._ntt_many(z_perm, self.chunks, inverse=True)
         lkzs = []
         for i in range(self.n_lk):
-            z = LK.grand_product(lk_a[i], lk_s[i], lk_ap[i], lk_sp[i],
+            sl = slice(i * n, (i + 1) * n)
+            z = LK.grand_product(lk_a[sl], lk_s[sl], lk_ap[sl], lk_sp[sl],
                                  self.usable, beta_m, gamma_m, lkz_blind[i])
             lkzs.append(z)
         if lkzs:
-            lkz_coeffs = self._ntt_many(jnp.stack(lkzs), inverse=True)
+            lkz_coeffs = self._ntt_many(jnp.concatenate(lkzs), self.n_lk,
+                                        inverse=True)
         else:
-            lkz_coeffs = jnp.zeros((0, self.n, F.LIMBS), jnp.uint32)
+            lkz_coeffs = jnp.zeros((0, F.LIMBS), jnp.uint32)
         return z_perm_coeffs, lkz_coeffs
 
     # -- phase 4: quotient on sub-cosets ----------------------------------
@@ -398,9 +406,11 @@ class _Phases:
                            shift_pows, zh_inv):
         """One sub-coset's quotient values: NTT every stacked poly onto
         the coset, fold all constraint terms with y, divide by Z_H."""
-        evals = self._ntt_many(coeff_stack, inverse=False,
+        n = self.n
+        evals = self._ntt_many(coeff_stack, len(self.q_keys), inverse=False,
                                shift_pows=shift_pows)
-        by_key = {key: evals[i] for i, key in enumerate(self.q_keys)}
+        by_key = {key: evals[i * n : (i + 1) * n]
+                  for i, key in enumerate(self.q_keys)}
         pts = F.mont_mul(FR, jnp.asarray(self.dom.omega_powers()),
                          shift_pows[1])
         delta_pows = jnp.asarray(self._delta_pows)
@@ -439,61 +449,81 @@ class _Phases:
 
     def _quotient_finish(self, q_subs):
         """Interleave sub-coset values back to the extended coset order,
-        INTT, and slice the d-1 live pieces."""
+        INTT, and slice the d-1 live pieces (returned FLAT
+        ((d-1)*n, 16); piece j at rows [j*n, (j+1)*n))."""
         n = self.n
-        q_ext = jnp.stack(q_subs, axis=1).reshape(self.dom_ext.n, F.LIMBS)
+        R = self.ratio
+        q_ext = jnp.zeros((self.dom_ext.n, F.LIMBS), jnp.uint32)
+        for sidx, q_s in enumerate(q_subs):
+            q_ext = q_ext.at[sidx::R].set(q_s)
         h = P.coset_interp(self.dom_ext, q_ext)
-        return h[: (self.d - 1) * n].reshape(self.d - 1, n, F.LIMBS)
+        return h[: (self.d - 1) * n]
 
-    def _h_combine(self, pieces, xn_pows):
+    def _h_combine(self, pieces_flat, xn_pows):
         """h(X) folded with x^n powers: sum_j xn^j pieces[j]."""
-        scaled = F.mont_mul(FR, pieces, xn_pows[:, None, :])
-        return F.tree_sum(FR, scaled, axis=0)
+        n = self.n
+        acc = None
+        for j in range(self.d - 1):
+            term = F.mont_mul(FR, pieces_flat[j * n : (j + 1) * n],
+                              xn_pows[j])
+            acc = term if acc is None else F.add(FR, acc, term)
+        return acc
 
     # -- phase 6: SHPLONK -------------------------------------------------
 
-    def _shplonk_f(self, poly_stack, corr, zcs):
+    def _shplonk_f(self, poly_flat, corr, zcs):
         """f(X) = sum_i v^i Z_{T\\S_i}(X) (p_i(X) - r_i(X)).
 
-        poly_stack (G, n, 16); corr (G, Dr, 16): r_i coefficient
-        corrections (Montgomery, zero-padded); zcs (G, D, 16): v^i-scaled
-        Z_{T\\S_i} coefficients by degree.  Returns (n + D - 1, 16)."""
-        G, n = poly_stack.shape[0], poly_stack.shape[1]
+        poly_flat (G*n, 16) FLAT group polys; corr (G, Dr, 16): r_i
+        coefficient corrections (Montgomery, zero-padded); zcs
+        (G, D, 16): v^i-scaled Z_{T\\S_i} coefficients by degree.
+        Returns (n + D - 1, 16)."""
+        n = self.n
+        G = corr.shape[0]
         Dr = corr.shape[1]
         D = zcs.shape[1]
-        p = poly_stack.at[:, :Dr].set(
-            F.sub(FR, poly_stack[:, :Dr], corr))
+        terms = [None] * D
+        for g in range(G):
+            pg = poly_flat[g * n : (g + 1) * n]
+            pg = pg.at[:Dr].set(F.sub(FR, pg[:Dr], corr[g]))
+            for dd in range(D):
+                t = F.mont_mul(FR, pg, zcs[g, dd])
+                terms[dd] = t if terms[dd] is None else F.add(
+                    FR, terms[dd], t)
         out = jnp.zeros((n + D - 1, F.LIMBS), jnp.uint32)
         for dd in range(D):
-            term = F.tree_sum(
-                FR, F.mont_mul(FR, p, zcs[:, dd][:, None, :]), axis=0)
-            out = out.at[dd:dd + n].set(F.add(FR, out[dd:dd + n], term))
+            out = out.at[dd:dd + n].set(F.add(FR, out[dd:dd + n], terms[dd]))
         return out
 
-    def _gwc_witness(self, poly_stack, vpows, eval_m, z_m):
+    def _gwc_witness(self, poly_flat, vpows, eval_m, z_m):
         """One GWC opening witness W = [(F - F(z)) / (X - z)] where
         F = sum_j v^j p_j over the polys opened at rotation point z.
 
-        poly_stack (Q, n, 16); vpows (Q, 16); eval_m, z_m scalars (16,).
-        Division runs on the base coset (g w^j never meets z)."""
-        Fp = F.tree_sum(
-            FR, F.mont_mul(FR, poly_stack, vpows[:, None, :]), axis=0)
+        poly_flat (Q*n, 16) FLAT; vpows (Q, 16); eval_m, z_m scalars
+        (16,).  Division runs on the base coset (g w^j never meets z)."""
+        n = self.n
+        Q = vpows.shape[0]
+        Fp = None
+        for q in range(Q):
+            t = F.mont_mul(FR, poly_flat[q * n : (q + 1) * n], vpows[q])
+            Fp = t if Fp is None else F.add(FR, Fp, t)
         Fp = Fp.at[0].set(F.sub(FR, Fp[0], eval_m))
         l_ev = P.coset_evals(self.dom, Fp)
         den = F.sub(FR, _coset_points(self.dom), z_m)
         return P.coset_interp(
             self.dom, F.mont_mul(FR, l_ev, F.batch_inv(FR, den)))
 
-    def _shplonk_l(self, poly_stack, svals, h_shp, neg_zt_u, const_corr,
+    def _shplonk_l(self, poly_flat, svals, h_shp, neg_zt_u, const_corr,
                    u_m):
         """L(X) and the final witness quotient W' = L/(X-u) coefficients.
 
-        poly_stack (G, n, 16); svals (G, 16): v^i Z_{T\\S_i}(u);
+        poly_flat (G*n, 16) FLAT; svals (G, 16): v^i Z_{T\\S_i}(u);
         h_shp (n, 16); neg_zt_u, const_corr, u_m scalars (16,)."""
+        n = self.n
         acc = F.mont_mul(FR, h_shp, neg_zt_u)
-        term = F.tree_sum(
-            FR, F.mont_mul(FR, poly_stack, svals[:, None, :]), axis=0)
-        acc = F.add(FR, acc, term)
+        for g in range(svals.shape[0]):
+            acc = F.add(FR, acc, F.mont_mul(
+                FR, poly_flat[g * n : (g + 1) * n], svals[g]))
         acc = acc.at[0].set(F.sub(FR, acc[0], const_corr))
         l_ev = P.coset_evals(self.dom, acc)
         den = F.sub(FR, _coset_points(self.dom), u_m)
@@ -518,10 +548,11 @@ def _commit_write(tr, ph, coeffs):
     return pt
 
 
-def _commit_write_many(tr, ph, coeff_stack):
-    """Commit every row of (B, n, 16), write points in order."""
-    pts = [ph.commit(coeff_stack[i])
-           for i in range(coeff_stack.shape[0])]
+def _commit_write_many(tr, ph, flat, count):
+    """Commit ``count`` size-n polys from a FLAT (count*n, 16) tensor,
+    write points in order."""
+    n = ph.n
+    pts = [ph.commit(flat[i * n : (i + 1) * n]) for i in range(count)]
     out = []
     for jac in pts:
         pt = CV.to_affine_host(jac)[0]
@@ -599,7 +630,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     adv_blinding = _rand_field(rng, len(ph.adv_ids), n - usable)
     all_fld, adv_coeffs, inst_coeffs = ph.advice_phase(
         jnp.asarray(values_u32), adv_blinding, jnp.asarray(inst_arr))
-    _commit_write_many(tr, ph, adv_coeffs)
+    _commit_write_many(tr, ph, adv_coeffs, len(ph.adv_ids))
     _tick("advice")
 
     theta = tr.squeeze_challenge()
@@ -612,10 +643,10 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         lk_a, lk_s, lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = ph.lookup_phase(
             jnp.asarray(values_u32), all_fld, theta_m, bl_a, bl_s)
         for i in range(ph.n_lk):
-            _commit_write(tr, ph, lk_a_coeffs[i])
-            _commit_write(tr, ph, lk_s_coeffs[i])
+            _commit_write(tr, ph, lk_a_coeffs[i * n : (i + 1) * n])
+            _commit_write(tr, ph, lk_s_coeffs[i * n : (i + 1) * n])
     else:
-        z = jnp.zeros((0, n, F.LIMBS), jnp.uint32)
+        z = jnp.zeros((0, F.LIMBS), jnp.uint32)
         lk_a = lk_s = lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
 
     _tick("lookup_permuted")
@@ -630,9 +661,9 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     z_perm_coeffs, lkz_coeffs = ph.product_phase(
         all_fld, pk.sigma_values, pk.id_values,
         lk_a, lk_s, lk_ap, lk_sp, beta_m, gamma_m, z_blind, lkz_blind)
-    _commit_write_many(tr, ph, z_perm_coeffs)
+    _commit_write_many(tr, ph, z_perm_coeffs, ph.chunks)
     if ph.n_lk:
-        _commit_write_many(tr, ph, lkz_coeffs)
+        _commit_write_many(tr, ph, lkz_coeffs, ph.n_lk)
     random_coeffs = _rand_field(rng, n)
     _commit_write(tr, ph, random_coeffs)
     # evaluation-form tensors are dead past this point; at k=20 they are
@@ -644,25 +675,28 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     y_m = jnp.asarray(FR.encode(y))
 
     # ---- phase 4: quotient ----------------------------------------------------
+    def _sl(flat, i):
+        return flat[i * n : (i + 1) * n]
+
     def coeffs_for(key):
         kind = key[0]
         if kind == "col":
             c = key[1]
             if c in ph.adv_ids:
-                return adv_coeffs[ph.adv_ids.index(c)]
+                return _sl(adv_coeffs, ph.adv_ids.index(c))
             if c in inst_ids:
-                return inst_coeffs[inst_ids.index(c)]
+                return _sl(inst_coeffs, inst_ids.index(c))
             return pk.fixed_coeffs[c]
         if kind == "sigma":
-            return pk.sigma_coeffs[key[1]]
+            return _sl(pk.sigma_coeffs, key[1])
         if kind == "perm_z":
-            return z_perm_coeffs[key[1]]
+            return _sl(z_perm_coeffs, key[1])
         if kind == "lookup_z":
-            return lkz_coeffs[key[1]]
+            return _sl(lkz_coeffs, key[1])
         if kind == "lookup_a":
-            return lk_a_coeffs[key[1]]
+            return _sl(lk_a_coeffs, key[1])
         if kind == "lookup_s":
-            return lk_s_coeffs[key[1]]
+            return _sl(lk_s_coeffs, key[1])
         if kind == "l0":
             return pk.l0_coeffs
         if kind == "l_last":
@@ -671,7 +705,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             return pk.l_active_coeffs
         raise KeyError(key)
 
-    q_stack = jnp.stack([coeffs_for(key) for key in ph.q_keys])
+    q_stack = jnp.concatenate([coeffs_for(key) for key in ph.q_keys])
     q_subs = []
     for s in range(ph.ratio):
         shift_np, zh_inv_np = _subcoset_tables_np(k, ph.ext_k, s)
@@ -679,7 +713,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             q_stack, theta_m, beta_m, gamma_m, y_m,
             jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))
     pieces = ph.quotient_finish(q_subs)
-    _commit_write_many(tr, ph, pieces)
+    _commit_write_many(tr, ph, pieces, ph.d - 1)
     _tick("quotient")
 
     x = tr.squeeze_challenge()
@@ -691,7 +725,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     # ---- evaluations ----------------------------------------------------------
     def poly_coeffs(key):
         if key[0] == "advice":
-            return adv_coeffs[ph.adv_ids.index(key[1])]
+            return _sl(adv_coeffs, ph.adv_ids.index(key[1]))
         if key[0] == "fixed":
             return pk.fixed_coeffs[key[1]]
         if key[0] == "h":
@@ -712,10 +746,9 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         by_rot.setdefault(rot, []).append(key)
     evals = {}
     for rot, keys in by_rot.items():
-        stacked = jnp.stack([poly_coeffs(kk) for kk in keys])
-        vals = P.eval_at(stacked, rot_point(rot))
-        for kk, v in zip(keys, vals):
-            evals[(kk, rot)] = v
+        pt = rot_point(rot)
+        for kk in keys:
+            evals[(kk, rot)] = P.eval_at(poly_coeffs(kk), pt)[0]
     for key, rot in plan:
         if key[0] != "h":
             tr.write_scalar(evals[(key, rot)])
@@ -737,7 +770,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             by_rot_keys[rot].append(key)
         for rot in rot_order:
             keys = by_rot_keys[rot]
-            stack = jnp.stack([poly_coeffs(kk) for kk in keys])
+            stack = jnp.concatenate([poly_coeffs(kk) for kk in keys])
             vp = np.zeros((len(keys), F.LIMBS), np.uint32)
             acc = 1
             ev = 0
@@ -783,8 +816,8 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         r_at[key] = (pts, evs)
         v_pow = v_pow * v % FR.modulus
 
-    poly_stack = jnp.stack([poly_coeffs(key) for key, _ in groups])
-    f_acc = ph.shplonk_f(poly_stack, jnp.asarray(corr_np),
+    poly_flat = jnp.concatenate([poly_coeffs(key) for key, _ in groups])
+    f_acc = ph.shplonk_f(poly_flat, jnp.asarray(corr_np),
                          jnp.asarray(zcs_np))
 
     dom1 = domain(FR, k + 1)
@@ -810,7 +843,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         v_pow = v_pow * v % FR.modulus
 
     q_w = ph.shplonk_l(
-        poly_stack, jnp.asarray(svals_np), h_shp,
+        poly_flat, jnp.asarray(svals_np), h_shp,
         jnp.asarray(FR.encode(FR.modulus - zt_u)),
         jnp.asarray(FR.encode(const_corr)),
         jnp.asarray(FR.encode(u)))

@@ -85,10 +85,25 @@ def _host_window_tables(c: int = _WINDOW):
     return tables
 
 
+_POINTS_CHUNK = 1 << 17
+
+
 def _points_from_scalars(scalars_plain):
     """[s_0, s_1, ...] plain ints -> affine ([s_i] G1) limb arrays,
-    computed with one batched fixed-window table sum on device.  All
-    scalars must be nonzero mod r (no identity outputs)."""
+    computed with batched fixed-window table sums on device.  All
+    scalars must be nonzero mod r (no identity outputs).
+
+    Processed in 2^17-scalar chunks: the windowed gather holds
+    nwin x chunk points, and one monolithic k=20 batch wants ~34 GB
+    of HBM (measured OOM)."""
+    total = len(scalars_plain)
+    if total > _POINTS_CHUNK:
+        xs, ys = [], []
+        for lo in range(0, total, _POINTS_CHUNK):
+            x, y = _points_from_scalars(scalars_plain[lo : lo + _POINTS_CHUNK])
+            xs.append(np.asarray(x))
+            ys.append(np.asarray(y))
+        return jnp.asarray(np.concatenate(xs)), jnp.asarray(np.concatenate(ys))
     limbs = jnp.asarray(F.ints_to_limbs_fast([int(s) for s in scalars_plain]))
     tables = jnp.asarray(_host_window_tables())
     digs = MSM.digit_matrix(limbs, _WINDOW)            # (nwin, n)

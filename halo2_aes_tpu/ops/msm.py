@@ -44,8 +44,11 @@ from halo2_aes_tpu.ops import field as F
 
 SCALAR_BITS = 254
 
-# max gathered-tree elements per window group (~3 GB of tree at 192 B/pt)
-_GROUP_BUDGET = 1 << 22
+# max gathered-tree elements per window group.  NOTE: the gathered
+# (G, n, 16) tree tensors are rank-3, and XLA lane-pads rank>=3 u32
+# [..., 16] tensors 8x (2D (rows, 16) arrays get the efficient
+# limbs-major layout automatically) — the budget accounts for that.
+_GROUP_BUDGET = 1 << 21
 
 
 def default_window(n: int) -> int:
@@ -103,13 +106,15 @@ def _double_n(p, times: int):
     return jax.lax.fori_loop(0, times, lambda _, q: CV.double(q), p)
 
 
-def _window_sums(px, py, digs, c: int, n_real: int, tables=None):
+def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
+                 tbase=None):
     """Per-window bucket-weighted sums.
 
     px/py: (n_pad, 16) affine Montgomery points (pow-2 padded), shared
-    by every window — OR ``tables`` (G, n_pad, 2, 16): per-window
-    affine points (the 2^{cw}-shifted SRS tables), in which case px/py
-    are ignored and the caller skips the Horner fold entirely.
+    by every window — OR ``tables`` (tx, ty) flat (W*n, 16) per-window
+    affine points (the 2^{cw}-shifted SRS tables) with ``tbase`` (G,)
+    row offsets, in which case px/py are ignored and the caller skips
+    the Horner fold entirely.
     digs:  (G, n_pad) int32 digits for a group of G windows
            (padding rows carry digit 0 and are masked to identity).
     Returns (x, y, z) each (G, 16): S_w = sum_b b * bucket_b.
@@ -132,9 +137,10 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None):
         sx = jnp.take(px, order, axis=0)                 # (G, n_pad, 16)
         sy = jnp.take(py, order, axis=0)
     else:
-        idx3 = order[:, :, None]
-        sx = jnp.take_along_axis(tables[:, :, 0], idx3, axis=1)
-        sy = jnp.take_along_axis(tables[:, :, 1], idx3, axis=1)
+        tx, ty = tables
+        flat_idx = tbase[:, None] + order                # (G, n_pad)
+        sx = jnp.take(tx, flat_idx, axis=0)
+        sy = jnp.take(ty, flat_idx, axis=0)
     # padding -> the identity class (0 : y!=0 : 0): the homogeneous
     # complete adder needs X masked to 0 and Y nonzero, Z = 0.
     live = (order < n_real)[..., None]
@@ -195,14 +201,18 @@ def _double_c(p, c: int):
 
 @jax.jit
 def _tables_normalize(sx, sy, sz):
-    zinv = F.batch_inv(CV.FQ, sz.reshape(-1, F.LIMBS)).reshape(sz.shape)
+    # flat (W*n, 16) outputs: rank-2 stays lane-packed on TPU; the
+    # rank-4 (W, n, 2, 16) form was 8x lane-padded (13 GB at k=20)
+    zinv = F.batch_inv(CV.FQ, sz)
     ax = F.mul(CV.FQ, sx, zinv)
     ay = F.mul(CV.FQ, sy, zinv)
-    return jnp.stack([ax, ay], axis=2)                   # (W, n, 2, 16)
+    return ax, ay                                        # each (W*n, 16)
 
 
 def build_tables(points, c: int):
-    """(W, n, 2, 16) affine window tables T[w][i] = 2^{cw} * P_i.
+    """Affine window tables T[w][i] = 2^{cw} * P_i as a flat
+    (tx, ty) pair, each (W*n, 16) — window w's points at rows
+    [w*n, (w+1)*n).
 
     One-time per SRS (role of a Pippenger precomputation): with these,
     ``msm`` needs NO Horner doubling chain — every window's sum is
@@ -228,9 +238,9 @@ def build_tables(points, c: int):
         for _ in range(W - 1):
             cur = _double_c(cur, c)
             outs.append(cur)
-        sx = jnp.stack([o[0] for o in outs])
-        sy = jnp.stack([o[1] for o in outs])
-        sz = jnp.stack([o[2] for o in outs])
+        sx = jnp.concatenate([o[0] for o in outs])       # (W*n, 16)
+        sy = jnp.concatenate([o[1] for o in outs])
+        sz = jnp.concatenate([o[2] for o in outs])
         return _tables_normalize(sx, sy, sz)
     finally:
         F.set_pallas(f_flag)
@@ -266,7 +276,7 @@ def msm(points, scalars, c: int | None = None, tables=None):
     digs = digit_matrix(scalars, c)                      # (W, n), LSB first
     W = digs.shape[0]
     if tables is not None:
-        assert tables.shape[0] == W and tables.shape[1] == n
+        assert tables[0].shape[0] == W * n
     if n_pad != n:
         digs = jnp.pad(digs, ((0, 0), (0, n_pad - n)))
 
@@ -277,12 +287,15 @@ def msm(points, scalars, c: int | None = None, tables=None):
     digs = digs.reshape(n_groups, group, n_pad)
 
     if tables is not None:
-        tpad = jnp.pad(tables, ((0, n_groups * group - W), (0, 0), (0, 0),
-                                (0, 0))) if n_groups * group != W else tables
-        tpad = tpad.reshape(n_groups, group, n, 2, F.LIMBS)
+        # per-group flat row offsets into the (W*n, 16) tables; padding
+        # windows have all-zero digits (S_w = 0 for ANY points) — clip
+        wbase = jnp.clip(jnp.arange(n_groups * group, dtype=jnp.int32),
+                         0, W - 1) * n
+        wbase = wbase.reshape(n_groups, group)
         sums = jax.lax.map(
-            lambda args: _window_sums(px, py, args[0], c, n, tables=args[1]),
-            (digs, tpad),
+            lambda args: _window_sums(px, py, args[0], c, n,
+                                      tables=tables, tbase=args[1]),
+            (digs, wbase),
         )
         # windows are pre-scaled: the MSM is the plain sum of all sums
         return _tree_add(tuple(t.reshape(-1, F.LIMBS) for t in sums))

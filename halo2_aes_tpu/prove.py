@@ -30,6 +30,8 @@ def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
     # Pallas kernels give ~2-10x steady-state throughput but add long
     # one-time remote Mosaic compiles; default off for one-shot proves
     # (scripts/prove_steady.py turns them on for warm benchmarking).
+    from halo2_aes_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     if use_pallas and jax.default_backend() != "cpu":
         from halo2_aes_tpu.ops import pallas_field
 

@@ -39,6 +39,9 @@ def main():
     field.set_compact_graphs(True)
     import jax
 
+    from halo2_aes_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if jax.default_backend() != "cpu":
         from halo2_aes_tpu.ops import pallas_field
 
