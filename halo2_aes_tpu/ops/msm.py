@@ -201,12 +201,10 @@ def _double_c(p, c: int):
 
 @jax.jit
 def _tables_normalize(sx, sy, sz):
-    # flat (W*n, 16) outputs: rank-2 stays lane-packed on TPU; the
-    # rank-4 (W, n, 2, 16) form was 8x lane-padded (13 GB at k=20)
     zinv = F.batch_inv(CV.FQ, sz)
     ax = F.mul(CV.FQ, sx, zinv)
     ay = F.mul(CV.FQ, sy, zinv)
-    return ax, ay                                        # each (W*n, 16)
+    return ax, ay
 
 
 def build_tables(points, c: int):
@@ -234,14 +232,17 @@ def build_tables(points, c: int):
         one = jnp.broadcast_to(jnp.asarray(CV.FQ.one_mont), px.shape)
         W = -(-SCALAR_BITS // c)
         cur = (px, py, one)
-        outs = [cur]
-        for _ in range(W - 1):
-            cur = _double_c(cur, c)
-            outs.append(cur)
-        sx = jnp.concatenate([o[0] for o in outs])       # (W*n, 16)
-        sy = jnp.concatenate([o[1] for o in outs])
-        sz = jnp.concatenate([o[2] for o in outs])
-        return _tables_normalize(sx, sy, sz)
+        # normalize PER WINDOW: one whole-table batch_inv lets XLA pick
+        # 8x lane-padded layouts for its scan temps (measured 41 GB at
+        # k=20); per-window the temps are bounded by ~n rows
+        txs, tys = [], []
+        for w in range(W):
+            if w:
+                cur = _double_c(cur, c)
+            ax, ay = _tables_normalize(*cur)
+            txs.append(ax)
+            tys.append(ay)
+        return jnp.concatenate(txs), jnp.concatenate(tys)  # each (W*n, 16)
     finally:
         F.set_pallas(f_flag)
         pallas_curve.set_enabled(c_flag)
