@@ -117,11 +117,20 @@ def keygen_cached(layout: CompiledCircuit, srs: SRS,
 
     tag = layout_fingerprint(layout)
     path = os.path.join(cache_dir, f"pk_{tag}_s{srs.k}_{srs_identity(srs)}.npz")
+    def _dump(pts):
+        # identity commitments (all-zero columns) serialize as ("", "")
+        return np.array([["", ""] if pt is None else [str(pt[0]), str(pt[1])]
+                         for pt in pts], dtype=object)
+
+    def _load(arr):
+        return [None if pt[0] == "" else tuple(int(v) for v in pt)
+                for pt in arr]
+
     if os.path.exists(path):
         z = np.load(path, allow_pickle=True)
         pk = keygen(layout, srs, _precomputed={
-            "fixed_comms": [tuple(int(v) for v in pt) for pt in z["fixed_comms"]],
-            "sigma_comms": [tuple(int(v) for v in pt) for pt in z["sigma_comms"]],
+            "fixed_comms": _load(z["fixed_comms"]),
+            "sigma_comms": _load(z["sigma_comms"]),
             "assembly": PERM.PermutationAssembly(
                 list(layout.cs.perm_columns), z["map_col"], z["map_row"]),
         })
@@ -130,10 +139,8 @@ def keygen_cached(layout: CompiledCircuit, srs: SRS,
     os.makedirs(cache_dir, exist_ok=True)
     np.savez(
         path,
-        fixed_comms=np.array([[str(x), str(y)] for x, y in pk.vk.fixed_commitments],
-                             dtype=object),
-        sigma_comms=np.array([[str(x), str(y)] for x, y in pk.vk.sigma_commitments],
-                             dtype=object),
+        fixed_comms=_dump(pk.vk.fixed_commitments),
+        sigma_comms=_dump(pk.vk.sigma_commitments),
         map_col=pk.assembly.map_col,
         map_row=pk.assembly.map_row,
     )
