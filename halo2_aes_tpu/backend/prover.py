@@ -331,9 +331,28 @@ class _Phases:
 
     # -- phase 2: lookup permuted pairs -----------------------------------
 
+    def _compressed_cols(self, all_fld, theta_m):
+        """theta-compressed lookup input/table columns from the field
+        matrix — recomputed on demand (storing them across phases cost
+        1.3 GB at k=20)."""
+        n = self.n
+
+        def col_fld(col, rot):
+            v = all_fld[col * n : (col + 1) * n]
+            return jnp.roll(v, -rot, axis=0) if rot else v
+
+        class Ctx(PROTO.Context):
+            alg = DeviceAlgebra
+            theta = theta_m
+            column = staticmethod(col_fld)
+
+        a_flds = [PROTO.compressed_input(Ctx, lk) for lk in self.cs.lookups]
+        s_flds = [PROTO.compressed_table(Ctx, lk) for lk in self.cs.lookups]
+        return a_flds, s_flds
+
     def _lookup_phase(self, values_u32, all_fld, theta_m, bl_a, bl_s):
-        """Returns (a_fld, s_fld, a_prime, s_prime, a_coeffs, s_coeffs)
-        as FLAT (L*n, 16) tensors (lookup i at rows [i*n, (i+1)*n))."""
+        """Returns (a_prime, s_prime, a_coeffs, s_coeffs) as FLAT
+        (L*n, 16) tensors (lookup i at rows [i*n, (i+1)*n))."""
         usable, n = self.usable, self.n
 
         def col_fld(col, rot):
@@ -349,7 +368,7 @@ class _Phases:
             v = values_u32[col].astype(jnp.int32)
             return jnp.roll(v, -rot) if rot else v
 
-        a_flds, s_flds, a_primes, s_primes = [], [], [], []
+        a_primes, s_primes = [], []
         for li, lk in enumerate(self.cs.lookups):
             a_fld = PROTO.compressed_input(Ctx, lk)
             s_fld = PROTO.compressed_table(Ctx, lk)
@@ -362,20 +381,16 @@ class _Phases:
                                                  bl_a[li]))
             s_primes.append(LK.apply_permutation(s_fld[:usable], s_ord,
                                                  bl_s[li]))
-            a_flds.append(a_fld)
-            s_flds.append(s_fld)
-        a_fld = jnp.concatenate(a_flds)
-        s_fld = jnp.concatenate(s_flds)
         a_prime = jnp.concatenate(a_primes)
         s_prime = jnp.concatenate(s_primes)
         a_coeffs = self._ntt_many(a_prime, self.n_lk, inverse=True)
         s_coeffs = self._ntt_many(s_prime, self.n_lk, inverse=True)
-        return a_fld, s_fld, a_prime, s_prime, a_coeffs, s_coeffs
+        return a_prime, s_prime, a_coeffs, s_coeffs
 
     # -- phase 3: grand products ------------------------------------------
 
     def _product_phase(self, all_fld, sigma_values, id_values,
-                       lk_a, lk_s, lk_ap, lk_sp,
+                       lk_ap, lk_sp, theta_m,
                        beta_m, gamma_m, z_blind, lkz_blind):
         """Returns FLAT (z_perm_coeffs (chunks*n, 16),
         lkz_coeffs (L*n, 16))."""
@@ -387,10 +402,11 @@ class _Phases:
             sigma_values, id_values, beta_m, gamma_m, z_blind,
         )
         z_perm_coeffs = self._ntt_many(z_perm, self.chunks, inverse=True)
+        a_flds, s_flds = self._compressed_cols(all_fld, theta_m)
         lkzs = []
         for i in range(self.n_lk):
             sl = slice(i * n, (i + 1) * n)
-            z = LK.grand_product(lk_a[sl], lk_s[sl], lk_ap[sl], lk_sp[sl],
+            z = LK.grand_product(a_flds[i], s_flds[i], lk_ap[sl], lk_sp[sl],
                                  self.usable, beta_m, gamma_m, lkz_blind[i])
             lkzs.append(z)
         if lkzs:
@@ -640,14 +656,14 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     if ph.n_lk:
         bl_a = _rand_field(rng, ph.n_lk, n - usable)
         bl_s = _rand_field(rng, ph.n_lk, n - usable)
-        lk_a, lk_s, lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = ph.lookup_phase(
+        lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = ph.lookup_phase(
             jnp.asarray(values_u32), all_fld, theta_m, bl_a, bl_s)
         for i in range(ph.n_lk):
             _commit_write(tr, ph, lk_a_coeffs[i * n : (i + 1) * n])
             _commit_write(tr, ph, lk_s_coeffs[i * n : (i + 1) * n])
     else:
         z = jnp.zeros((0, F.LIMBS), jnp.uint32)
-        lk_a = lk_s = lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
+        lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
 
     _tick("lookup_permuted")
     beta = tr.squeeze_challenge()
@@ -660,7 +676,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     lkz_blind = _rand_field(rng, max(ph.n_lk, 1), bf)
     z_perm_coeffs, lkz_coeffs = ph.product_phase(
         all_fld, pk.sigma_values, pk.id_values,
-        lk_a, lk_s, lk_ap, lk_sp, beta_m, gamma_m, z_blind, lkz_blind)
+        lk_ap, lk_sp, theta_m, beta_m, gamma_m, z_blind, lkz_blind)
     _commit_write_many(tr, ph, z_perm_coeffs, ph.chunks)
     if ph.n_lk:
         _commit_write_many(tr, ph, lkz_coeffs, ph.n_lk)
@@ -668,7 +684,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     _commit_write(tr, ph, random_coeffs)
     # evaluation-form tensors are dead past this point; at k=20 they are
     # gigabytes of HBM the quotient phase needs back
-    del all_fld, lk_a, lk_s, lk_ap, lk_sp
+    del all_fld, lk_ap, lk_sp
     _tick("grand_products")
 
     y = tr.squeeze_challenge()

@@ -48,7 +48,7 @@ SCALAR_BITS = 254
 # (G, n, 16) tree tensors are rank-3, and XLA lane-pads rank>=3 u32
 # [..., 16] tensors 8x (2D (rows, 16) arrays get the efficient
 # limbs-major layout automatically) — the budget accounts for that.
-_GROUP_BUDGET = 1 << 21
+_GROUP_BUDGET = 1 << 20
 
 
 def default_window(n: int) -> int:
