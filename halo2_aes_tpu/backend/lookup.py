@@ -82,6 +82,6 @@ def grand_product(a, s, a_perm, s_perm, usable: int, beta_m, gamma_m, blinding):
     ratio = F.mont_mul(FR, num, den_inv)
     active = jnp.arange(n) < usable
     ratio = F.select(active, ratio, jnp.broadcast_to(one, ratio.shape))
-    cum = jax.lax.associative_scan(lambda x, y: F.mont_mul(FR, x, y), ratio, axis=0)
+    cum = F.cumprod(FR, ratio)
     z = jnp.concatenate([one[None], cum[:-1]], axis=0)
     return jnp.concatenate([z[: n - blinding.shape[0]], blinding], axis=0)

@@ -163,7 +163,7 @@ def grand_products(k: int, usable: int, chunk_len: int, values, sigmas, ids,
         row_ratio = F.select(active, row_ratio,
                              jnp.broadcast_to(one, row_ratio.shape))
         # inclusive scan then shift: z[j] = init * prod_{l<j} ratio[l]
-        cum = jax.lax.associative_scan(lambda a, b: F.mont_mul(FR, a, b), row_ratio, axis=0)
+        cum = F.cumprod(FR, row_ratio)
         z = jnp.concatenate([jnp.broadcast_to(one, (1, F.LIMBS)), cum[:-1]], axis=0)
         z = F.mont_mul(FR, z, init)
         init = F.mont_mul(FR, init, cum[usable - 1])  # z_t[usable]

@@ -453,12 +453,43 @@ def inv(spec: FieldSpec, a):
     return pow_const(spec, a, spec.modulus - 2)
 
 
+# associative_scan materializes interior-padded (dilated) temporaries
+# whose XLA layout is 8x-expanded for (rows, 16) u32 tensors; above this
+# row count the scan is blocked with a sequential carry so those temps
+# stay bounded (a k=20 product phase scans 8.4M rows — unblocked, the
+# pads alone are 3 x 4 GB and the phase cannot compile).
+_SCAN_BLOCK = 1 << 19
+
+
+def cumprod(spec: FieldSpec, a):
+    """Inclusive cumulative product along axis 0, scan temps bounded."""
+    return _cumprod_blocked(spec, a)
+
+
+def _cumprod_blocked(spec: FieldSpec, a):
+    n = a.shape[0]
+    if n <= _SCAN_BLOCK:
+        return jax.lax.associative_scan(
+            lambda x, y: mont_mul(spec, x, y), a, axis=0)
+    pieces = []
+    carry = None
+    for lo in range(0, n, _SCAN_BLOCK):
+        chunk = a[lo : min(lo + _SCAN_BLOCK, n)]
+        s = jax.lax.associative_scan(
+            lambda x, y: mont_mul(spec, x, y), chunk, axis=0)
+        if carry is not None:
+            s = mont_mul(spec, s, carry)
+        pieces.append(s)
+        carry = s[-1]
+    return jnp.concatenate(pieces, axis=0)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def batch_inv(spec: FieldSpec, a):
     """Invert a batch (n, 16) with one field inversion + O(n) muls.
 
-    Montgomery's trick, TPU style: two associative-scan cumulative
-    products + one Fermat inversion + two elementwise muls.
+    Montgomery's trick, TPU style: two (blocked) cumulative products +
+    one Fermat inversion + two elementwise muls.
     Zero entries map to zero (scan-safe: zeros are replaced by ONE and
     masked back at the end).
     """
@@ -466,11 +497,8 @@ def batch_inv(spec: FieldSpec, a):
     is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
     a_safe = jnp.where(is_zero, one, a)
 
-    def combine(x, y):
-        return mont_mul(spec, x, y)
-
-    fwd = jax.lax.associative_scan(combine, a_safe, axis=0)          # P_i = prod_{j<=i}
-    rev = jax.lax.associative_scan(combine, a_safe[::-1], axis=0)[::-1]  # S_i = prod_{j>=i}
+    fwd = _cumprod_blocked(spec, a_safe)                 # P_i = prod_{j<=i}
+    rev = _cumprod_blocked(spec, a_safe[::-1])[::-1]     # S_i = prod_{j>=i}
     total_inv = inv(spec, fwd[-1])
     n = a.shape[0]
     # inv(a_i) = P_{i-1} * S_{i+1} * total_inv
