@@ -245,7 +245,14 @@ class _Phases:
         wrap = jax.jit
         self.advice_phase = wrap(self._advice_phase)
         self.lookup_phase = wrap(self._lookup_phase)
-        self.product_phase = wrap(self._product_phase)
+        self.perm_products = wrap(self._perm_products)
+        self.compress_lk = [
+            wrap(functools.partial(self._compress_one, i))
+            for i in range(self.n_lk)
+        ]
+        self.lookup_product = wrap(self._lookup_product)
+        self.intt_nlk = wrap(
+            lambda flat: self._ntt_many(flat, self.n_lk, inverse=True))
         self.quotient_subcoset = wrap(self._quotient_subcoset)
         self.quotient_finish = wrap(self._quotient_finish)
         self.h_combine = wrap(self._h_combine)
@@ -331,25 +338,6 @@ class _Phases:
 
     # -- phase 2: lookup permuted pairs -----------------------------------
 
-    def _compressed_cols(self, all_fld, theta_m):
-        """theta-compressed lookup input/table columns from the field
-        matrix — recomputed on demand (storing them across phases cost
-        1.3 GB at k=20)."""
-        n = self.n
-
-        def col_fld(col, rot):
-            v = all_fld[col * n : (col + 1) * n]
-            return jnp.roll(v, -rot, axis=0) if rot else v
-
-        class Ctx(PROTO.Context):
-            alg = DeviceAlgebra
-            theta = theta_m
-            column = staticmethod(col_fld)
-
-        a_flds = [PROTO.compressed_input(Ctx, lk) for lk in self.cs.lookups]
-        s_flds = [PROTO.compressed_table(Ctx, lk) for lk in self.cs.lookups]
-        return a_flds, s_flds
-
     def _lookup_phase(self, values_u32, all_fld, theta_m, bl_a, bl_s):
         """Returns (a_prime, s_prime, a_coeffs, s_coeffs) as FLAT
         (L*n, 16) tensors (lookup i at rows [i*n, (i+1)*n))."""
@@ -388,12 +376,16 @@ class _Phases:
         return a_prime, s_prime, a_coeffs, s_coeffs
 
     # -- phase 3: grand products ------------------------------------------
+    #
+    # Split into several executables on purpose: one fused product phase
+    # holds every evaluation-form tensor at once and cannot fit k=20 in
+    # HBM (measured 17.4 GB of 15.75).  The lookup grand product is ONE
+    # compiled graph reused for all lookups; only the tiny per-lookup
+    # theta-compressions trace separately.
 
-    def _product_phase(self, all_fld, sigma_values, id_values,
-                       lk_ap, lk_sp, theta_m,
-                       beta_m, gamma_m, z_blind, lkz_blind):
-        """Returns FLAT (z_perm_coeffs (chunks*n, 16),
-        lkz_coeffs (L*n, 16))."""
+    def _perm_products(self, all_fld, sigma_values, id_values,
+                       beta_m, gamma_m, z_blind):
+        """Permutation grand products -> FLAT z_perm coeffs (chunks*n, 16)."""
         n = self.n
         perm_values = jnp.concatenate(
             [all_fld[c * n : (c + 1) * n] for c in self.cs.perm_columns])
@@ -401,20 +393,29 @@ class _Phases:
             self.k, self.usable, self.chunk_len, perm_values,
             sigma_values, id_values, beta_m, gamma_m, z_blind,
         )
-        z_perm_coeffs = self._ntt_many(z_perm, self.chunks, inverse=True)
-        a_flds, s_flds = self._compressed_cols(all_fld, theta_m)
-        lkzs = []
-        for i in range(self.n_lk):
-            sl = slice(i * n, (i + 1) * n)
-            z = LK.grand_product(a_flds[i], s_flds[i], lk_ap[sl], lk_sp[sl],
-                                 self.usable, beta_m, gamma_m, lkz_blind[i])
-            lkzs.append(z)
-        if lkzs:
-            lkz_coeffs = self._ntt_many(jnp.concatenate(lkzs), self.n_lk,
-                                        inverse=True)
-        else:
-            lkz_coeffs = jnp.zeros((0, F.LIMBS), jnp.uint32)
-        return z_perm_coeffs, lkz_coeffs
+        return self._ntt_many(z_perm, self.chunks, inverse=True)
+
+    def _compress_one(self, li, all_fld, theta_m):
+        """One lookup's theta-compressed (input, table) columns."""
+        n = self.n
+
+        def col_fld(col, rot):
+            v = all_fld[col * n : (col + 1) * n]
+            return jnp.roll(v, -rot, axis=0) if rot else v
+
+        class Ctx(PROTO.Context):
+            alg = DeviceAlgebra
+            theta = theta_m
+            column = staticmethod(col_fld)
+
+        lk = self.cs.lookups[li]
+        return PROTO.compressed_input(Ctx, lk), PROTO.compressed_table(Ctx, lk)
+
+    def _lookup_product(self, a_fld, s_fld, ap, sp, beta_m, gamma_m, blind):
+        """One lookup's grand product z (n, 16); shape-uniform across
+        lookups so all of them share one compile."""
+        return LK.grand_product(a_fld, s_fld, ap, sp,
+                                self.usable, beta_m, gamma_m, blind)
 
     # -- phase 4: quotient on sub-cosets ----------------------------------
 
@@ -674,11 +675,17 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     # ---- phase 3: grand products + random poly ------------------------------
     z_blind = _rand_field(rng, ph.chunks, bf)
     lkz_blind = _rand_field(rng, max(ph.n_lk, 1), bf)
-    z_perm_coeffs, lkz_coeffs = ph.product_phase(
-        all_fld, pk.sigma_values, pk.id_values,
-        lk_ap, lk_sp, theta_m, beta_m, gamma_m, z_blind, lkz_blind)
+    z_perm_coeffs = ph.perm_products(
+        all_fld, pk.sigma_values, pk.id_values, beta_m, gamma_m, z_blind)
     _commit_write_many(tr, ph, z_perm_coeffs, ph.chunks)
     if ph.n_lk:
+        lkzs = []
+        for i in range(ph.n_lk):
+            a_fld, s_fld = ph.compress_lk[i](all_fld, theta_m)
+            lkzs.append(ph.lookup_product(
+                a_fld, s_fld, lk_ap[i * n : (i + 1) * n],
+                lk_sp[i * n : (i + 1) * n], beta_m, gamma_m, lkz_blind[i]))
+        lkz_coeffs = ph.intt_nlk(jnp.concatenate(lkzs))
         _commit_write_many(tr, ph, lkz_coeffs, ph.n_lk)
     random_coeffs = _rand_field(rng, n)
     _commit_write(tr, ph, random_coeffs)

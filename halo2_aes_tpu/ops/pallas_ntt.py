@@ -266,7 +266,6 @@ def _pass_fn(modulus: int, n0inv: int, lt: int, r: int, interpret: bool):
     p_limbs = np.asarray(F.int_to_limbs(modulus), np.uint32).reshape(LIMBS, 1)
     n0 = np.array([[n0inv]], np.uint32)
 
-    @jax.jit
     def run(tw, x):                                     # x (LIMBS, rows, T)
         rows = x.shape[1]
         return pl.pallas_call(
@@ -288,7 +287,9 @@ def _pass_fn(modulus: int, n0inv: int, lt: int, r: int, interpret: bool):
             interpret=interpret,
         )(jnp.asarray(p_limbs), jnp.asarray(n0), tw, x)
 
-    return run
+    # interpret mode (CPU tests) runs the kernel eagerly: XLA CPU takes
+    # minutes to compile the unrolled lattice, eager takes seconds
+    return run if interpret else jax.jit(run)
 
 
 def _block_rows(lt: int, rows: int) -> int:
