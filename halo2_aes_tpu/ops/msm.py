@@ -44,10 +44,9 @@ from halo2_aes_tpu.ops import field as F
 
 SCALAR_BITS = 254
 
-# max gathered-tree elements per window group.  NOTE: the gathered
-# (G, n, 16) tree tensors are rank-3, and XLA lane-pads rank>=3 u32
-# [..., 16] tensors 8x (2D (rows, 16) arrays get the efficient
-# limbs-major layout automatically) — the budget accounts for that.
+# max gathered-tree rows (G * n_pad) per window group: the rank-2 tree
+# holds ~2*rows per level chain * 3 coords * 64 B/row (~0.4 GB/2^20
+# rows), and the k=20 prover phases keep most of HBM occupied already.
 _GROUP_BUDGET = 1 << 20
 
 
@@ -118,6 +117,13 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
     digs:  (G, n_pad) int32 digits for a group of G windows
            (padding rows carry digit 0 and are masked to identity).
     Returns (x, y, z) each (G, 16): S_w = sum_b b * bucket_b.
+
+    Every limb tensor stays RANK-2 (rows, 16): rank>=3 u32 [..., 16]
+    tensors are lane-padded 8x on TPU, which blew the k=20 HBM budget
+    (the gathered tree alone inflated ~0.4 GB -> ~3.4 GB as rank-3).
+    Windows live as contiguous row segments of the flat tensors; every
+    segment length is a power of two, so the stride-2 pair folds of the
+    up-sweep never pair rows across a window boundary.
     """
     G, n_pad = digs.shape
     lg = n_pad.bit_length() - 1
@@ -134,30 +140,36 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
     order = (keys & jnp.uint32(n_pad - 1)).astype(jnp.int32)
 
     if tables is None:
-        sx = jnp.take(px, order, axis=0)                 # (G, n_pad, 16)
-        sy = jnp.take(py, order, axis=0)
+        flat_idx = order.reshape(-1)                     # (G*n_pad,)
+        sx = jnp.take(px, flat_idx, axis=0)              # (G*n_pad, 16)
+        sy = jnp.take(py, flat_idx, axis=0)
     else:
         tx, ty = tables
-        flat_idx = tbase[:, None] + order                # (G, n_pad)
+        flat_idx = (tbase[:, None] + order).reshape(-1)
         sx = jnp.take(tx, flat_idx, axis=0)
         sy = jnp.take(ty, flat_idx, axis=0)
     # padding -> the identity class (0 : y!=0 : 0): the homogeneous
     # complete adder needs X masked to 0 and Y nonzero, Z = 0.
-    live = (order < n_real)[..., None]
+    live = (order < n_real).reshape(-1, 1)
     sx = jnp.where(live, sx, jnp.uint32(0))
     sy = jnp.where(live, sy, one)
     sz = jnp.where(live, one, jnp.uint32(0))
 
+    def _pair_fold_once(cur):
+        # halves every window segment: segment lengths are even powers
+        # of two, so rows 2i / 2i+1 always belong to the same window
+        return CV.add(tuple(t[0::2] for t in cur),
+                      tuple(t[1::2] for t in cur))
+
     # ---- up-sweep: dyadic interval tree over the sorted order ------------
-    levels = [(sx, sy, sz)]
+    levels = [(sx, sy, sz)]                              # lvl: (G*(n_pad>>lvl), 16)
     cur = (sx, sy, sz)
-    while cur[0].shape[1] > 1:
-        m = cur[0].shape[1]
-        a = tuple(t.reshape(G, m // 2, 2, F.LIMBS)[:, :, 0] for t in cur)
-        b = tuple(t.reshape(G, m // 2, 2, F.LIMBS)[:, :, 1] for t in cur)
-        cur = CV.add(a, b)
+    m = n_pad
+    while m > 1:
+        cur = _pair_fold_once(cur)
+        m //= 2
         levels.append(cur)
-    root = tuple(t[:, 0] for t in cur)                   # (G, 16)
+    root = cur                                           # (G, 16)
 
     # ---- Fenwick extraction of C_b = prefix sum of first m_b elements ----
     bvals = jnp.arange(buckets, dtype=jnp.int32)
@@ -165,17 +177,15 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
         lambda row: jnp.searchsorted(row, bvals, side="right")
     )(ds).astype(jnp.int32)                              # (G, B) in [0, n]
 
-    acc = CV.identity((G, buckets))
+    gofs = jnp.arange(G, dtype=jnp.int32)[:, None]
+    acc = CV.identity((G * buckets,))
     for lvl in range(len(levels)):
-        bit = ((mcounts >> lvl) & 1) == 1                # (G, B)
+        m_lvl = n_pad >> lvl
+        bit = (((mcounts >> lvl) & 1) == 1).reshape(-1)  # (G*B,)
         idx = (mcounts >> (lvl + 1)) << 1
-        idx = jnp.clip(idx, 0, levels[lvl][0].shape[1] - 1)
-        gathered = tuple(
-            jnp.take_along_axis(
-                t, idx[:, :, None].astype(jnp.int32), axis=1
-            )
-            for t in levels[lvl]
-        )
+        idx = jnp.clip(idx, 0, m_lvl - 1)
+        flat = (gofs * m_lvl + idx).reshape(-1)          # rows of levels[lvl]
+        gathered = tuple(jnp.take(t, flat, axis=0) for t in levels[lvl])
         node = tuple(
             F.select(bit, g, jnp.broadcast_to(i, g.shape))
             for g, i in zip(gathered, CV.identity())
@@ -184,12 +194,16 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
 
     # ---- telescoped window sum -------------------------------------------
     # sum_b b*D_b = (B-1)*C_{B-1} - sum_{b=0}^{B-2} C_b ; C_{B-1} = root
-    last = jnp.arange(buckets) == buckets - 1
-    rest = tuple(
-        F.select(last[None, :], jnp.broadcast_to(i, a.shape), a)
+    last = (jnp.arange(G * buckets) % buckets) == buckets - 1
+    cur = tuple(
+        F.select(last, jnp.broadcast_to(i, a.shape), a)
         for a, i in zip(acc, CV.identity())
     )
-    sum_rest = _tree_add(tuple(jnp.moveaxis(t, 1, 0) for t in rest))
+    m = buckets
+    while m > 1:                                         # (G*B, 16) -> (G, 16)
+        cur = _pair_fold_once(cur)
+        m //= 2
+    sum_rest = cur
     scaled = CV.add(_double_n(root, c), CV.neg(root))    # (2^c - 1) * root
     return CV.add(scaled, CV.neg(sum_rest))
 

@@ -233,30 +233,46 @@ def _mont_mul_planes(a, b, p, n0):
     return _cond_sub_p(limbs, p)
 
 
-def _make_kernel(lt: int):
+def _stages(lt: int, p, n0, get_tw, x):
+    """All lt DIF stages over plane lists; shared by the Mosaic kernel
+    and the eager CPU-test path (XLA CPU takes tens of minutes to
+    compile the unrolled lattice, so tests must not jit it)."""
     T = 1 << lt
+    R = x[0].shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (R, T), 1)
+    for s in range(lt):
+        h = T >> (s + 1)
+        is_lo = (iota & (2 * h - 1)) < h
+        r = [_roll(pl_, -h) for pl_ in x]
+        lft = [_roll(pl_, +h) for pl_ in x]
+        add_l = _add_mod(x, r, p)
+        sub_l = _sub_mod(lft, x, p)
+        tmp = [jnp.where(is_lo, u, v) for u, v in zip(add_l, sub_l)]
+        tw = [get_tw(s, i) for i in range(LIMBS)]       # (1, T) planes
+        x = _mont_mul_planes(tmp, tw, p, n0)
+    return x
 
+
+def _make_kernel(lt: int):
     def kernel(p_ref, n0_ref, tw_ref, x_ref, o_ref):
         n0 = n0_ref[0, 0]
         p = [p_ref[i, 0] for i in range(LIMBS)]
         x = [x_ref[i] for i in range(LIMBS)]            # (R, T) planes
-        R = x[0].shape[0]
-        iota = jax.lax.broadcasted_iota(jnp.uint32, (R, T), 1)
-        for s in range(lt):
-            h = T >> (s + 1)
-            is_lo = (iota & (2 * h - 1)) < h
-            r = [_roll(pl_, -h) for pl_ in x]
-            lft = [_roll(pl_, +h) for pl_ in x]
-            add_l = _add_mod(x, r, p)
-            sub_l = _sub_mod(lft, x, p)
-            tmp = [jnp.where(is_lo, u, v) for u, v in zip(add_l, sub_l)]
-            tw = [tw_ref[s * LIMBS + i : s * LIMBS + i + 1, :]
-                  for i in range(LIMBS)]                # (1, T) planes
-            x = _mont_mul_planes(tmp, tw, p, n0)
+        get_tw = lambda s, i: tw_ref[s * LIMBS + i : s * LIMBS + i + 1, :]
+        x = _stages(lt, p, n0, get_tw, x)
         for i in range(LIMBS):
             o_ref[i] = x[i]
 
     return kernel
+
+
+def _pass_eager(spec: F.FieldSpec, lt: int, tw: np.ndarray, x):
+    """Eager (unjitted) reference path for CPU tests."""
+    p = [int(v) for v in F.int_to_limbs(spec.modulus)]
+    get_tw = lambda s, i: jnp.asarray(tw[s * LIMBS + i][None, :])
+    planes = [x[i] for i in range(LIMBS)]
+    out = _stages(lt, p, spec.n0inv, get_tw, planes)
+    return jnp.stack(out)
 
 
 @functools.lru_cache(maxsize=None)
@@ -302,10 +318,12 @@ def _block_rows(lt: int, rows: int) -> int:
 
 def _pass(spec: F.FieldSpec, lt: int, inverse: bool, x):
     rows = x.shape[1]
-    tw = jnp.asarray(_stage_tables(spec, lt, inverse))
+    tw = _stage_tables(spec, lt, inverse)
+    if _INTERPRET:
+        return _pass_eager(spec, lt, tw, x)
     run = _pass_fn(spec.modulus, spec.n0inv, lt,
-                   _block_rows(lt, rows), _INTERPRET)
-    return run(tw, x)
+                   _block_rows(lt, rows), False)
+    return run(jnp.asarray(tw), x)
 
 
 def _mul_planes(spec: F.FieldSpec, a, b):
