@@ -77,6 +77,17 @@ class Domain:
             self._tw[key] = self.spec.host_powers(base, count or self.n)
         return jnp.asarray(self._tw[key])
 
+    def bitrev_flat(self, count: int):
+        """Bit-reversal gather indices for `count` polys stored FLAT
+        (count*n rows): tile the per-poly table, offset by poly base."""
+        key = ("bitrev_flat", count)
+        if key not in self._tw:
+            off = np.repeat(
+                np.arange(count, dtype=np.int32) * self.n, self.n)
+            self._tw[key] = (np.tile(self._bitrev_np, count).astype(np.int32)
+                             + off)
+        return jnp.asarray(self._tw[key])
+
 
 @functools.lru_cache(maxsize=None)
 def domain(spec: F.FieldSpec, k: int) -> Domain:
@@ -89,13 +100,27 @@ def ntt(dom: Domain, x, inverse: bool = False):
     return _ntt_jit(dom, inverse, x.ndim)(x)
 
 
+def ntt_flat(dom: Domain, x, count: int, inverse: bool = False):
+    """`count` independent size-n NTTs over a FLAT (count*n, LIMBS)
+    tensor (poly i at rows [i*n, (i+1)*n)) — ONE batched butterfly
+    lattice instead of `count` sequential transforms.
+
+    Works because every stage's index math (j, jh, lo/hi partner,
+    twiddle index) only touches the low k bits of the row counter, and
+    the per-poly base occupies strictly higher bits; only the initial
+    bit-reversal gather needs per-poly offsets (Domain.bitrev_flat)."""
+    return _ntt_jit(dom, inverse, x.ndim, count)(x)
+
+
 @functools.lru_cache(maxsize=None)
-def _ntt_jit(dom: Domain, inverse: bool, ndim: int):
-    return jax.jit(functools.partial(_ntt_impl, dom, inverse=inverse))
+def _ntt_jit(dom: Domain, inverse: bool, ndim: int, count: int = 1):
+    return jax.jit(
+        functools.partial(_ntt_impl, dom, inverse=inverse, count=count))
 
 
-def _ntt_impl(dom: Domain, x, inverse: bool = False):
-    """In-order NTT of x (n, LIMBS): coeffs->evals (or evals->coeffs).
+def _ntt_impl(dom: Domain, x, inverse: bool = False, count: int = 1):
+    """In-order NTT of x (count*n, LIMBS): coeffs->evals (or
+    evals->coeffs), batched over `count` polys stored flat.
 
     The stage loop is a lax.fori_loop whose body computes butterfly
     partners and twiddle indices arithmetically from the stage counter,
@@ -108,10 +133,13 @@ def _ntt_impl(dom: Domain, x, inverse: bool = False):
     spec = dom.spec
     n = dom.n
     k = dom.k
-    assert x.shape[0] == n
-    x = jnp.take(x, dom.bitrev, axis=0)
+    assert x.shape[0] == count * n
+    if count == 1:
+        x = jnp.take(x, dom.bitrev, axis=0)
+    else:
+        x = jnp.take(x, dom.bitrev_flat(count), axis=0)
     tw_full = dom._twiddles(inverse)
-    o = jnp.arange(n, dtype=jnp.int32)
+    o = jnp.arange(count * n, dtype=jnp.int32)
 
     def stage(s, x):
         m = jnp.int32(1) << s

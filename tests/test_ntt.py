@@ -72,3 +72,17 @@ def test_powers_and_dot():
     assert SPEC.decode(np.asarray(d[None]))[0] == sum(
         ai * pow(base_int, i, P) for i, ai in enumerate(a)
     ) % P
+
+def test_ntt_flat_matches_per_poly():
+    k = 6
+    dom = ntt.domain(SPEC, k)
+    count = 3
+    polys = [[RNG.randrange(P) for _ in range(dom.n)] for _ in range(count)]
+    flat = jnp.asarray(SPEC.encode([c for p in polys for c in p]))
+    out = ntt.ntt_flat(dom, flat, count)
+    for i, p in enumerate(polys):
+        one = ntt.ntt(dom, jnp.asarray(SPEC.encode(p)))
+        assert (SPEC.decode(np.asarray(out[i * dom.n : (i + 1) * dom.n]))
+                == SPEC.decode(np.asarray(one))), i
+    back = ntt.ntt_flat(dom, out, count, inverse=True)
+    assert SPEC.decode(np.asarray(back)) == SPEC.decode(np.asarray(flat))
