@@ -581,6 +581,17 @@ def _get_phases(pk: ProvingKey, mesh=None, mesh_axis: str = "dp") -> _Phases:
     return cache[key]
 
 
+def _commit_pts(ph, flat, count):
+    """Commit ``count`` size-n polys from a FLAT (count*n, 16) tensor;
+    returns affine points (no transcript side effects — the caller
+    absorbs, so checkpoint resume can replay absorbs from saved
+    points)."""
+    n = ph.n
+    jacs = [ph.commit(jnp.asarray(flat)[i * n : (i + 1) * n])
+            for i in range(count)]
+    return [CV.to_affine_host(jac)[0] for jac in jacs]
+
+
 def _commit_write(tr, ph, coeffs):
     pt = CV.to_affine_host(ph.commit(coeffs))[0]
     tr.write_point(pt)
@@ -590,14 +601,10 @@ def _commit_write(tr, ph, coeffs):
 def _commit_write_many(tr, ph, flat, count):
     """Commit ``count`` size-n polys from a FLAT (count*n, 16) tensor,
     write points in order."""
-    n = ph.n
-    pts = [ph.commit(flat[i * n : (i + 1) * n]) for i in range(count)]
-    out = []
-    for jac in pts:
-        pt = CV.to_affine_host(jac)[0]
+    pts = _commit_pts(ph, flat, count)
+    for pt in pts:
         tr.write_point(pt)
-        out.append(pt)
-    return out
+    return pts
 
 
 # --------------------------------------------------------------------------
@@ -607,7 +614,8 @@ def _commit_write_many(tr, ph, flat, count):
 
 def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
           mesh=None, mesh_axis: str = "dp",
-          multiopen: str = "shplonk") -> bytes:
+          multiopen: str = "shplonk",
+          checkpoint_dir: str | None = None) -> bytes:
     """values_u32: (num_columns, n) uint32 merged column matrix (from
     circuit.witness.assemble_values) — advice entries are read from it,
     fixed entries are taken from the pk.  instances: list (per instance
@@ -619,7 +627,11 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
 
     ``mesh``/``mesh_axis``: run the heavy transforms/commitments
     sharded over a jax Mesh (distributed four-step NTT + collective
-    MSM; see _Phases docstring)."""
+    MSM; see _Phases docstring).
+
+    ``checkpoint_dir``: persist each heavy phase's outputs there and
+    resume a crashed/OOM-killed prove at the first incomplete phase
+    (backend/resume.py; SURVEY.md §5.3 restartable launch)."""
     import os
     import time as _time
 
@@ -665,28 +677,71 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         assert all(0 <= int(v) < (1 << 16) for v in vals)
         inst_arr[i, : len(vals)] = [int(v) % (1 << 16) for v in vals]
 
+    ck = None
+    if checkpoint_dir is not None:
+        from halo2_aes_tpu.backend import resume as RES
+
+        ck = RES.ProveCheckpoint(
+            checkpoint_dir,
+            RES.prove_key_material(vk.digest, values_np, instances, seed,
+                                   multiopen))
+
+        def _restore_rng(state):
+            RES.restore_rng(rng, state)
+    else:
+        def _restore_rng(state):
+            pass
+
     # ---- phase 1: advice lift + blind + INTT + commits ----------------------
-    adv_blinding = _rand_field(rng, len(ph.adv_ids), n - usable)
-    all_fld, adv_coeffs, inst_coeffs = ph.advice_phase(
-        jnp.asarray(values_u32), adv_blinding, jnp.asarray(inst_arr))
-    _commit_write_many(tr, ph, adv_coeffs, len(ph.adv_ids))
+    st = ck.load("advice") if ck else None
+    if st is None:
+        adv_blinding = _rand_field(rng, len(ph.adv_ids), n - usable)
+        all_fld, adv_coeffs, inst_coeffs = ph.advice_phase(
+            jnp.asarray(values_u32), adv_blinding, jnp.asarray(inst_arr))
+        adv_pts = _commit_pts(ph, adv_coeffs, len(ph.adv_ids))
+        if ck:
+            ck.save("advice", {"all_fld": all_fld, "adv_coeffs": adv_coeffs,
+                               "inst_coeffs": inst_coeffs}, adv_pts, rng)
+    else:
+        arrays, adv_pts, rng_state = st
+        all_fld, adv_coeffs, inst_coeffs = (
+            arrays["all_fld"], arrays["adv_coeffs"], arrays["inst_coeffs"])
+        _restore_rng(rng_state)
+    for pt in adv_pts:
+        tr.write_point(pt)
     _tick("advice")
 
     theta = tr.squeeze_challenge()
     theta_m = jnp.asarray(FR.encode(theta))
 
     # ---- phase 2: lookup permuted pairs -------------------------------------
-    if ph.n_lk:
-        bl_a = _rand_field(rng, ph.n_lk, n - usable)
-        bl_s = _rand_field(rng, ph.n_lk, n - usable)
-        lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = ph.lookup_phase(
-            jnp.asarray(values_u32), all_fld, theta_m, bl_a, bl_s)
-        for i in range(ph.n_lk):
-            _commit_write(tr, ph, lk_a_coeffs[i * n : (i + 1) * n])
-            _commit_write(tr, ph, lk_s_coeffs[i * n : (i + 1) * n])
+    st = ck.load("lookup") if ck else None
+    if st is None:
+        if ph.n_lk:
+            bl_a = _rand_field(rng, ph.n_lk, n - usable)
+            bl_s = _rand_field(rng, ph.n_lk, n - usable)
+            lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = ph.lookup_phase(
+                jnp.asarray(values_u32), all_fld, theta_m, bl_a, bl_s)
+            lk_pts = []
+            for i in range(ph.n_lk):
+                lk_pts += _commit_pts(ph, lk_a_coeffs[i * n : (i + 1) * n], 1)
+                lk_pts += _commit_pts(ph, lk_s_coeffs[i * n : (i + 1) * n], 1)
+        else:
+            z = jnp.zeros((0, F.LIMBS), jnp.uint32)
+            lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
+            lk_pts = []
+        if ck:
+            ck.save("lookup", {"lk_ap": lk_ap, "lk_sp": lk_sp,
+                               "lk_a_coeffs": lk_a_coeffs,
+                               "lk_s_coeffs": lk_s_coeffs}, lk_pts, rng)
     else:
-        z = jnp.zeros((0, F.LIMBS), jnp.uint32)
-        lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
+        arrays, lk_pts, rng_state = st
+        lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = (
+            arrays["lk_ap"], arrays["lk_sp"], arrays["lk_a_coeffs"],
+            arrays["lk_s_coeffs"])
+        _restore_rng(rng_state)
+    for pt in lk_pts:
+        tr.write_point(pt)
 
     _tick("lookup_permuted")
     beta = tr.squeeze_challenge()
@@ -695,22 +750,40 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     gamma_m = jnp.asarray(FR.encode(gamma))
 
     # ---- phase 3: grand products + random poly ------------------------------
-    z_blind = _rand_field(rng, ph.chunks, bf)
-    lkz_blind = _rand_field(rng, max(ph.n_lk, 1), bf)
-    z_perm_coeffs = ph.perm_products(
-        all_fld, pk.sigma_values, pk.id_values, beta_m, gamma_m, z_blind)
-    _commit_write_many(tr, ph, z_perm_coeffs, ph.chunks)
-    if ph.n_lk:
-        lkzs = []
-        for i in range(ph.n_lk):
-            a_fld, s_fld = ph.compress_lk[i](all_fld, theta_m)
-            lkzs.append(ph.lookup_product(
-                a_fld, s_fld, lk_ap[i * n : (i + 1) * n],
-                lk_sp[i * n : (i + 1) * n], beta_m, gamma_m, lkz_blind[i]))
-        lkz_coeffs = ph.intt_nlk(jnp.concatenate(lkzs))
-        _commit_write_many(tr, ph, lkz_coeffs, ph.n_lk)
-    random_coeffs = _rand_field(rng, n)
-    _commit_write(tr, ph, random_coeffs)
+    st = ck.load("products") if ck else None
+    if st is None:
+        z_blind = _rand_field(rng, ph.chunks, bf)
+        lkz_blind = _rand_field(rng, max(ph.n_lk, 1), bf)
+        z_perm_coeffs = ph.perm_products(
+            all_fld, pk.sigma_values, pk.id_values, beta_m, gamma_m, z_blind)
+        prod_pts = _commit_pts(ph, z_perm_coeffs, ph.chunks)
+        if ph.n_lk:
+            lkzs = []
+            for i in range(ph.n_lk):
+                a_fld, s_fld = ph.compress_lk[i](all_fld, theta_m)
+                lkzs.append(ph.lookup_product(
+                    a_fld, s_fld, jnp.asarray(lk_ap)[i * n : (i + 1) * n],
+                    jnp.asarray(lk_sp)[i * n : (i + 1) * n],
+                    beta_m, gamma_m, lkz_blind[i]))
+            lkz_coeffs = ph.intt_nlk(jnp.concatenate(lkzs))
+            prod_pts += _commit_pts(ph, lkz_coeffs, ph.n_lk)
+        else:
+            lkz_coeffs = jnp.zeros((0, F.LIMBS), jnp.uint32)
+        random_coeffs = _rand_field(rng, n)
+        prod_pts += _commit_pts(ph, random_coeffs, 1)
+        if ck:
+            ck.save("products", {"z_perm_coeffs": z_perm_coeffs,
+                                 "lkz_coeffs": lkz_coeffs,
+                                 "random_coeffs": random_coeffs},
+                    prod_pts, rng)
+    else:
+        arrays, prod_pts, rng_state = st
+        z_perm_coeffs = arrays["z_perm_coeffs"]
+        lkz_coeffs = arrays["lkz_coeffs"]
+        random_coeffs = arrays["random_coeffs"]
+        _restore_rng(rng_state)
+    for pt in prod_pts:
+        tr.write_point(pt)
     # evaluation-form tensors are dead past this point; at k=20 they are
     # gigabytes of HBM the quotient phase needs back
     del all_fld, lk_ap, lk_sp
@@ -750,15 +823,26 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             return pk.l_active_coeffs
         raise KeyError(key)
 
-    q_stack = jnp.concatenate([coeffs_for(key) for key in ph.q_keys])
-    q_subs = []
-    for s in range(ph.ratio):
-        shift_np, zh_inv_np = _subcoset_tables_np(k, ph.ext_k, s)
-        q_subs.append(ph.quotient_subcoset(
-            q_stack, theta_m, beta_m, gamma_m, y_m,
-            jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))
-    pieces = ph.quotient_finish(q_subs)
-    _commit_write_many(tr, ph, pieces, ph.d - 1)
+    st = ck.load("quotient") if ck else None
+    if st is None:
+        q_stack = jnp.concatenate(
+            [jnp.asarray(coeffs_for(key)) for key in ph.q_keys])
+        q_subs = []
+        for s in range(ph.ratio):
+            shift_np, zh_inv_np = _subcoset_tables_np(k, ph.ext_k, s)
+            q_subs.append(ph.quotient_subcoset(
+                q_stack, theta_m, beta_m, gamma_m, y_m,
+                jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))
+        pieces = ph.quotient_finish(q_subs)
+        piece_pts = _commit_pts(ph, pieces, ph.d - 1)
+        if ck:
+            ck.save("quotient", {"pieces": pieces}, piece_pts, rng)
+    else:
+        arrays, piece_pts, rng_state = st
+        pieces = arrays["pieces"]
+        _restore_rng(rng_state)
+    for pt in piece_pts:
+        tr.write_point(pt)
     _tick("quotient")
 
     x = tr.squeeze_challenge()
@@ -827,6 +911,8 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
                                jnp.asarray(FR.encode(ev)),
                                jnp.asarray(FR.encode(rot_point(rot))))
             _commit_write(tr, ph, w)
+        if ck:
+            ck.clear()
         return tr.finalize()
 
     assert multiopen == "shplonk", multiopen
@@ -895,6 +981,8 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     _commit_write(tr, ph, q_w)
     _tick("shplonk")
 
+    if ck:
+        ck.clear()
     return tr.finalize()
 
 

@@ -174,6 +174,69 @@ def test_keygen_cache_keyed_by_srs_identity(tmp_path):
     assert pk_a2.vk.digest == pk_a.vk.digest
 
 
+def test_checkpoint_resume(setup, tmp_path, monkeypatch):
+    """Crash-restartable proving (SURVEY.md §5.3): a prove killed after
+    the grand-product phase resumes at the quotient phase, replays the
+    Fiat-Shamir absorbs from saved commitment points, and produces a
+    byte-identical proof; success clears the checkpoint."""
+    from halo2_aes_tpu.backend import resume as RES
+    from halo2_aes_tpu.backend import prover as PRV
+
+    layout, values, pk = setup
+    baseline = prove(pk, values, seed=7)
+
+    # inject a crash immediately after the "products" phase checkpoint
+    # lands on disk
+    orig_save = RES.ProveCheckpoint.save
+
+    def crashing_save(self, phase, arrays, points, rng=None):
+        orig_save(self, phase, arrays, points, rng)
+        if phase == "products":
+            raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(RES.ProveCheckpoint, "save", crashing_save)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        prove(pk, values, seed=7, checkpoint_dir=str(tmp_path))
+    monkeypatch.setattr(RES.ProveCheckpoint, "save", orig_save)
+
+    # the resumed prove must NOT recompute phases 1-3: poison them
+    ph = PRV._get_phases(pk)
+
+    def boom(*a, **k):
+        raise AssertionError("restored phase was recomputed")
+
+    monkeypatch.setattr(ph, "advice_phase", boom)
+    monkeypatch.setattr(ph, "lookup_phase", boom)
+    monkeypatch.setattr(ph, "perm_products", boom)
+    resumed = prove(pk, values, seed=7, checkpoint_dir=str(tmp_path))
+    assert resumed == baseline
+    assert verify(pk.vk, resumed)
+    # completion clears every phase file
+    for d in tmp_path.iterdir():
+        assert not list(d.iterdir())
+
+
+def test_checkpoint_keyed_on_inputs(setup, tmp_path):
+    """A checkpoint directory written for one (witness, seed) must never
+    be spliced into a prove of different inputs."""
+    from halo2_aes_tpu.backend import resume as RES
+
+    layout, values, pk = setup
+    a = RES.ProveCheckpoint(
+        str(tmp_path), RES.prove_key_material(pk.vk.digest, values, [], 7,
+                                              "shplonk"))
+    b = RES.ProveCheckpoint(
+        str(tmp_path), RES.prove_key_material(pk.vk.digest, values, [], 8,
+                                              "shplonk"))
+    assert a.dir != b.dir
+    bad = values.copy()
+    bad[6, 2] ^= 1
+    c = RES.ProveCheckpoint(
+        str(tmp_path), RES.prove_key_material(pk.vk.digest, bad, [], 7,
+                                              "shplonk"))
+    assert c.dir != a.dir
+
+
 def test_second_backend_gwc_roundtrip(setup):
     """The backend seam carries a real second proving backend: the same
     circuit/pk proves and verifies through the kzg-gwc registry entry
