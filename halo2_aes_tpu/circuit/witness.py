@@ -21,6 +21,14 @@ def build_pool(key, plaintexts):
     return jnp.concatenate([ks_pool, pools.reshape(-1)])
 
 
+def build_dec_pool(key, ciphertexts):
+    """Decryption witness pool (models/aes128_dec.py layout): the same
+    forward key expansion followed by batched inverse-cipher traces."""
+    ks_pool, rks = aes.expand_key(key)
+    pools = aes.dec_block_pool_batch(ciphertexts, rks)
+    return jnp.concatenate([ks_pool, pools.reshape(-1)])
+
+
 def assemble_values(layout: CompiledCircuit, pool):
     """-> uint32[num_columns, n]: advice values from the pool merged with
     fixed-column values (selectors, tables, rcon).  This merged matrix is

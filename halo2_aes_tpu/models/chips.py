@@ -77,3 +77,53 @@ def configure_chip_set(cs: ConstraintSystem, chip: ChipSet, table_cols):
          (Prod(q(q_mul3), Ref(a0)), in1),
          (Prod(q(q_mul3), Ref(a1)), in2)],
     )
+
+
+# --------------------------------------------------------------------------
+# decryption chip set (beyond the reference — see models/aes128_dec.py)
+# --------------------------------------------------------------------------
+
+DEC_SELECTOR_NAMES = ("q_u8_range_check", "q_u8_xor", "q_op")
+
+
+@dataclass(frozen=True)
+class DecChipSet:
+    """Column/selector ids for one decryption advice-column set.
+
+    Instead of one lookup argument per op type, all 2-column table ops
+    (forward S-box for the key schedule, inverse S-box, GF mul by
+    9/11/13/14) share ONE lookup whose tag is read from a per-set fixed
+    column — 3 lookup arguments per set where the reference's design
+    would need 8.  Fewer lookups = fewer permuted/grand-product columns
+    per proof."""
+
+    index: int
+    advice: tuple          # (a0, a1, a2) global column ids
+    selectors: tuple       # 3 selector fixed-column ids, DEC_SELECTOR_NAMES order
+    op_tag: int            # fixed column holding the per-row table tag
+
+
+def configure_dec_chip_set(cs: ConstraintSystem, chip: DecChipSet, table_cols):
+    """Register the 3 lookup arguments of one decryption column set."""
+    tag, in1, in2, out = table_cols
+    a0, a1, a2 = chip.advice
+    q_range, q_xor, q_op = (Ref(s) for s in chip.selectors)
+
+    cs.add_lookup(
+        f"u8 range check (dec set {chip.index})",
+        [(Prod(q_range, Const(int(Tag.U8))), tag),
+         (Prod(q_range, Ref(a0)), in1)],
+    )
+    cs.add_lookup(
+        f"u8 xor (dec set {chip.index})",
+        [(Prod(q_xor, Const(int(Tag.XOR))), tag),
+         (Prod(q_xor, Ref(a0)), in1),
+         (Prod(q_xor, Ref(a1)), in2),
+         (Prod(q_xor, Ref(a2)), out)],
+    )
+    cs.add_lookup(
+        f"tagged table op (dec set {chip.index})",
+        [(Prod(q_op, Ref(chip.op_tag)), tag),
+         (Prod(q_op, Ref(a0)), in1),
+         (Prod(q_op, Ref(a1)), in2)],
+    )

@@ -76,6 +76,11 @@ MUL_BY_11 = np.array([_gf_mul(x, 11) for x in range(256)], dtype=np.uint8)
 MUL_BY_13 = np.array([_gf_mul(x, 13) for x in range(256)], dtype=np.uint8)
 MUL_BY_14 = np.array([_gf_mul(x, 14) for x in range(256)], dtype=np.uint8)
 
+# Inverse S-box (NOT in the reference: its decryption support stops at
+# staging the InvMixColumns mul tables, reference src/constant.rs:49-111).
+INV_S_BOX = np.zeros(256, dtype=np.uint8)
+INV_S_BOX[S_BOX] = np.arange(256, dtype=np.uint8)
+
 # AES key-schedule round constants (reference src/utils.rs:28).
 ROUND_CONSTANTS = np.array([1, 2, 4, 8, 16, 32, 64, 128, 27, 54], dtype=np.uint8)
 
@@ -88,6 +93,17 @@ MIX_MATRIX = np.array(
 # shifted[4*i + j] = sub[4*((i + j) % 4) + j]  (reference src/aes128.rs:211-223)
 SHIFT_ROWS_IDX = np.array(
     [4 * ((i + j) % 4) + j for i in range(4) for j in range(4)], dtype=np.int32
+)
+
+# InvMixColumns matrix (FIPS-197 §5.3.3), row-major like MIX_MATRIX.
+INV_MIX_MATRIX = np.array(
+    [[14, 11, 13, 9], [9, 14, 11, 13], [13, 9, 14, 11], [11, 13, 9, 14]],
+    dtype=np.uint8,
+)
+
+# InvShiftRows: inv_shifted[4*i + j] = state[4*((i - j) % 4) + j].
+INV_SHIFT_ROWS_IDX = np.array(
+    [4 * ((i - j) % 4) + j for i in range(4) for j in range(4)], dtype=np.int32
 )
 
 # --- circuit row accounting (static layout) -----------------------------
@@ -112,3 +128,14 @@ KEY_SCHEDULE_WORDS_ROWS = 96
 # + 256 mul3 + 1 zero row (reference src/table.rs:18-192).
 TABLE_ROWS = 66561
 MIN_K = 17  # smallest domain holding the table
+
+# Decryption circuit rows per block: 16 ciphertext + 16 initial-ARK xor
+# + per round 9..1 (16 inv-sbox + 16 ARK xor + 16 outputs * 7 InvMix lcon
+# rows) + final round (16 inv-sbox + 16 ARK) = 1360 — same budget as
+# encryption (enc lcon spends its 288 coeff-1 copy rows; dec spends them
+# as mul lookups since every InvMix coefficient is 9/11/13/14).
+AES_DEC_BLOCK_ROWS = 1360
+
+# Decryption mega-table adds inv-sbox + 4 InvMixColumns mul sub-tables
+# (5 * 256 rows) after the encryption content.
+DEC_TABLE_ROWS = TABLE_ROWS + 5 * 256

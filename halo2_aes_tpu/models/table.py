@@ -29,6 +29,14 @@ class Tag(enum.IntEnum):  # reference src/table.rs:10-16
     SBOX = 3
     GFMUL2 = 4
     GFMUL3 = 5
+    # Decryption tags — beyond the reference, which stages the
+    # MUL_BY_9/11/13/14 tables but never builds chips or table rows for
+    # them (reference src/constant.rs:49-111).
+    INV_SBOX = 6
+    GFMUL9 = 7
+    GFMUL11 = 8
+    GFMUL13 = 9
+    GFMUL14 = 10
 
 
 def build_table(n: int) -> np.ndarray:
@@ -59,4 +67,33 @@ def build_table(n: int) -> np.ndarray:
     cols[1, 66304:66560] = i
     cols[2, 66304:66560] = C.MUL_BY_3
     # row 66560 and beyond: zeros
+    return cols
+
+
+# (tag, output table) sub-tables the decryption circuit appends; the
+# mul-by-constant tables are exactly the ones the reference stages
+# unused (reference src/constant.rs:49-111).
+DEC_SUBTABLES = (
+    (Tag.INV_SBOX, "INV_S_BOX"),
+    (Tag.GFMUL9, "MUL_BY_9"),
+    (Tag.GFMUL11, "MUL_BY_11"),
+    (Tag.GFMUL13, "MUL_BY_13"),
+    (Tag.GFMUL14, "MUL_BY_14"),
+)
+
+
+def build_dec_table(n: int) -> np.ndarray:
+    """Decryption mega-table: the encryption table plus inv-sbox and the
+    four InvMixColumns mul sub-tables (rows 66561..67840); the zero rows
+    beyond still absorb disabled lookups."""
+    assert n >= C.DEC_TABLE_ROWS, (
+        f"dec table needs {C.DEC_TABLE_ROWS} rows, domain has {n}")
+    cols = build_table(n)
+    i = np.arange(256, dtype=np.uint32)
+    base = C.TABLE_ROWS  # 66561: first row past the enc zero row
+    for t, (tag, name) in enumerate(DEC_SUBTABLES):
+        lo, hi = base + t * 256, base + (t + 1) * 256
+        cols[0, lo:hi] = tag
+        cols[1, lo:hi] = i
+        cols[2, lo:hi] = getattr(C, name)
     return cols

@@ -118,6 +118,73 @@ def block_pool(plaintext, round_keys):
 block_pool_batch = jax.vmap(block_pool, in_axes=(0, None))
 
 
+def dec_block_pool(ciphertext, round_keys):
+    """Full circuit trace of one AES-128 decryption (straightforward
+    inverse cipher, FIPS-197 §5.3).  NOT in the reference — it stages the
+    InvMixColumns tables but implements no decryption (reference
+    src/constant.rs:49-111).
+
+    ciphertext: uint8[16], round_keys: uint8[11,16] -> uint8[1360]:
+      [0:16]     ciphertext
+      [16:32]    initial AddRoundKey (rk10)
+      rounds rr in 1..9 (round key 10-rr) at base=32+(rr-1)*144:
+        [base   : base+16]   InvSubBytes outputs (InvShiftRows is free
+                             index rewiring, mirroring encryption)
+        [base+16: base+32]   AddRoundKey outputs
+        [base+32: base+144]  InvMixColumns lcon: for output (word i,
+                             row m), 7 values [tmp0..3, inter1, inter2,
+                             out] at base+32+(4i+m)*7+t
+      [1328:1344] final InvSubBytes, [1344:1360] AddRoundKey (rk0)
+                  = recovered plaintext
+    """
+    ct = ciphertext.astype(jnp.uint8)
+    inv_shift = jnp.asarray(C.INV_SHIFT_ROWS_IDX)
+    coeff = jnp.asarray(C.INV_MIX_MATRIX)[None, :, :]  # (1, m, j)
+
+    parts = [ct]
+    state = ct ^ round_keys[10]
+    parts.append(state)
+    for rr in range(1, 11):
+        sub = _take(C.INV_S_BOX, state[inv_shift])
+        parts.append(sub)
+        ark = sub ^ round_keys[10 - rr]
+        parts.append(ark)
+        if rr == 10:
+            break
+        s = ark.reshape(4, 4)[:, None, :]  # (i, 1, j)
+        tmp = jnp.where(
+            coeff == 9,
+            _take(C.MUL_BY_9, s),
+            jnp.where(
+                coeff == 11,
+                _take(C.MUL_BY_11, s),
+                jnp.where(coeff == 13, _take(C.MUL_BY_13, s),
+                          _take(C.MUL_BY_14, s)),
+            ),
+        )  # (i, m, j)
+        inter1 = tmp[..., 0] ^ tmp[..., 1]
+        inter2 = tmp[..., 2] ^ tmp[..., 3]
+        out = inter1 ^ inter2  # (i, m)
+        group = jnp.concatenate(
+            [tmp, inter1[..., None], inter2[..., None], out[..., None]], axis=-1
+        )  # (i, m, 7)
+        parts.append(group.reshape(112))
+        state = out.reshape(16)
+    return jnp.concatenate(parts)
+
+
+dec_block_pool_batch = jax.vmap(dec_block_pool, in_axes=(0, None))
+
+
+def decrypt(ciphertext, key):
+    """Plain AES-128 ECB decrypt of one or many 16-byte blocks (oracle)."""
+    _, rks = expand_key(jnp.asarray(key, dtype=jnp.uint8))
+    ct = jnp.asarray(ciphertext, dtype=jnp.uint8)
+    if ct.ndim == 1:
+        return dec_block_pool(ct, rks)[-16:]
+    return dec_block_pool_batch(ct, rks)[:, -16:]
+
+
 def encrypt(plaintext, key):
     """Plain AES-128 ECB encrypt of one or many 16-byte blocks (oracle)."""
     _, rks = expand_key(jnp.asarray(key, dtype=jnp.uint8))
