@@ -174,6 +174,54 @@ def test_keygen_cache_keyed_by_srs_identity(tmp_path):
     assert pk_a2.vk.digest == pk_a.vk.digest
 
 
+def test_tagged_op_lookup_roundtrip():
+    """A lookup whose tag comes from a fixed column (the decryption
+    circuit's leaner design, models/chips.py DecChipSet) proves and
+    verifies; a value from the WRONG sub-table is rejected."""
+    cs = ConstraintSystem()
+    q = cs.fixed_column("q_op")
+    tag_col = cs.fixed_column("op_tag")
+    t_tag = cs.fixed_column("t_tag")
+    t_in = cs.fixed_column("t_in")
+    t_out = cs.fixed_column("t_out")
+    a0 = cs.advice_column("a0")
+    a1 = cs.advice_column("a1")
+    cs.add_lookup("tagged op", [(Prod(Ref(q), Ref(tag_col)), t_tag),
+                                (Prod(Ref(q), Ref(a0)), t_in),
+                                (Prod(Ref(q), Ref(a1)), t_out)])
+    cs.enable_equality(a0)
+
+    # two sub-tables: tag 1 -> y = 2x, tag 2 -> y = 3x (x < 16)
+    fixed = np.zeros((7, N), dtype=np.uint32)
+    fixed[t_tag, 0:16], fixed[t_in, 0:16] = 1, np.arange(16)
+    fixed[t_out, 0:16] = np.arange(16) * 2
+    fixed[t_tag, 16:32], fixed[t_in, 16:32] = 2, np.arange(16)
+    fixed[t_out, 16:32] = (np.arange(16) * 3) % 256
+
+    values = np.zeros((7, N), dtype=np.uint32)
+    for row, tag, x in [(0, 1, 5), (1, 2, 5), (2, 1, 15)]:
+        fixed[q, row] = 1
+        fixed[tag_col, row] = tag
+        values[a0, row] = x
+        values[a1, row] = (x * 2 if tag == 1 else x * 3) % 256
+
+    layout = CompiledCircuit(
+        k=K, cs=cs, fixed=fixed,
+        witness_map=np.full((7, N), -1, np.int32),
+        copy_pairs=np.zeros((0, 4), np.int32), pool_len=0,
+    )
+    values += fixed
+    srs = SRS.setup(K, cache_dir=None)
+    pk = keygen(layout, srs)
+    proof = prove(pk, values, seed=11)
+    assert verify(pk.vk, proof)
+    # row 1 is tag 2 (y=3x): the tag-1 answer 2x must be rejected
+    bad = values.copy()
+    bad[6, 1] = 10
+    with pytest.raises(VerifyError):
+        verify(pk.vk, prove(pk, bad, seed=12))
+
+
 def test_checkpoint_resume(setup, tmp_path, monkeypatch):
     """Crash-restartable proving (SURVEY.md §5.3): a prove killed after
     the grand-product phase resumes at the quotient phase, replays the
