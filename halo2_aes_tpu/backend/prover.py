@@ -45,6 +45,7 @@ from halo2_aes_tpu.backend.transcript import TranscriptWriter
 from halo2_aes_tpu.ops import curve as CV
 from halo2_aes_tpu.ops import field as F
 from halo2_aes_tpu.ops.ntt import domain, ntt, ntt_flat
+from halo2_aes_tpu.utils import sanitize as SAN
 
 FR = F.FR
 
@@ -709,6 +710,8 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         _restore_rng(rng_state)
     for pt in adv_pts:
         tr.write_point(pt)
+    SAN.check_phase(FR, "advice", adv_coeffs=adv_coeffs,
+                    inst_coeffs=inst_coeffs)
     _tick("advice")
 
     theta = tr.squeeze_challenge()
@@ -742,6 +745,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         _restore_rng(rng_state)
     for pt in lk_pts:
         tr.write_point(pt)
+    SAN.check_phase(FR, "lookup", a_coeffs=lk_a_coeffs, s_coeffs=lk_s_coeffs)
 
     _tick("lookup_permuted")
     beta = tr.squeeze_challenge()
@@ -784,6 +788,8 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         _restore_rng(rng_state)
     for pt in prod_pts:
         tr.write_point(pt)
+    SAN.check_phase(FR, "products", z_perm=z_perm_coeffs, lkz=lkz_coeffs,
+                    random=random_coeffs)
     # evaluation-form tensors are dead past this point; at k=20 they are
     # gigabytes of HBM the quotient phase needs back
     del all_fld, lk_ap, lk_sp
@@ -843,6 +849,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         _restore_rng(rng_state)
     for pt in piece_pts:
         tr.write_point(pt)
+    SAN.check_phase(FR, "quotient", pieces=pieces)
     _tick("quotient")
 
     x = tr.squeeze_challenge()

@@ -19,7 +19,8 @@ import numpy as np
 
 def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
         srs_cache: str | None = "ptau", expose_ciphertext: bool = False,
-        use_pallas: bool = False) -> dict:
+        use_pallas: bool = False, decrypt: bool = False,
+        checkpoint_dir: str | None = None) -> dict:
     import jax
 
     from halo2_aes_tpu.ops import field
@@ -58,9 +59,17 @@ def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
         return _T()
 
     with timed("compile_circuit"):
-        cfg = AesConfig(k=k, n_sets=n_sets, n_blocks=blocks,
-                        expose_ciphertext=expose_ciphertext)
-        layout = compile_circuit(cfg)
+        if decrypt:
+            from halo2_aes_tpu.models.aes128_dec import (
+                AesDecConfig, compile_circuit as compile_dec)
+
+            cfg = AesDecConfig(k=k, n_sets=n_sets, n_blocks=blocks,
+                               expose_plaintext=expose_ciphertext)
+            layout = compile_dec(cfg)
+        else:
+            cfg = AesConfig(k=k, n_sets=n_sets, n_blocks=blocks,
+                            expose_ciphertext=expose_ciphertext)
+            layout = compile_circuit(cfg)
     with timed("srs_setup"):
         srs = SRS.setup(k, cache_dir=srs_cache)
     with timed("keygen"):
@@ -73,24 +82,33 @@ def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
     with timed("witness"):
         import jax.numpy as jnp
 
-        pool = witness.build_pool(jnp.asarray(key), jnp.asarray(plaintexts))
+        from halo2_aes_tpu.ops import aes
+
+        if decrypt:
+            # prove knowledge of the DECRYPTION of these ciphertexts
+            cts = np.asarray(aes.encrypt(plaintexts, key))
+            pool = witness.build_dec_pool(jnp.asarray(key), jnp.asarray(cts))
+        else:
+            pool = witness.build_pool(jnp.asarray(key),
+                                      jnp.asarray(plaintexts))
         values = jax.block_until_ready(witness.assemble_values(layout, pool))
     with timed("prove"):
         # NOTE: the data seed is NOT passed to prove(): blinding always
         # comes from the OS CSPRNG (reproducible blinding would leak
         # witness data; reference uses OsRng, src/main.rs:75).
-        proof = prove(pk, values)
+        proof = prove(pk, values, checkpoint_dir=checkpoint_dir)
     result = {"proof_bytes": len(proof), "timings": timings,
-              "blocks": blocks, "k": k, "n_sets": n_sets}
+              "blocks": blocks, "k": k, "n_sets": n_sets,
+              "mode": "decrypt" if decrypt else "encrypt"}
     if do_verify:
         instances = None
         if expose_ciphertext:
-            # the verifier checks the proof binds to the TRUE ciphertext,
-            # computed with an independent oracle
-            from halo2_aes_tpu.ops import aes
-
-            ct = np.asarray(aes.encrypt(plaintexts, key)).reshape(-1)
-            instances = [[int(v) for v in ct]]
+            # the verifier checks the proof binds to the TRUE public
+            # bytes, computed with an independent oracle (ciphertext for
+            # encryption; recovered plaintext for decryption)
+            pub = (plaintexts if decrypt
+                   else np.asarray(aes.encrypt(plaintexts, key)))
+            instances = [[int(v) for v in np.asarray(pub).reshape(-1)]]
         with timed("verify"):
             verify(pk.vk, proof, instances=instances)
         result["verified"] = True
@@ -104,12 +122,21 @@ def main():
     ap.add_argument("--blocks", type=int, default=1)
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--expose-ciphertext", action="store_true")
+    ap.add_argument("--expose-ciphertext", action="store_true",
+                    help="expose the public bytes as an instance column "
+                         "(ciphertext when encrypting, recovered plaintext "
+                         "with --decrypt)")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--decrypt", action="store_true",
+                    help="prove AES-128 DECRYPTION (models/aes128_dec.py)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="persist per-phase prove checkpoints here and "
+                         "resume a crashed prove (backend/resume.py)")
     args = ap.parse_args()
     result = run(args.k, args.sets, args.blocks, args.verify, args.seed,
                  expose_ciphertext=args.expose_ciphertext,
-                 use_pallas=args.pallas)
+                 use_pallas=args.pallas, decrypt=args.decrypt,
+                 checkpoint_dir=args.checkpoint_dir)
     print(json.dumps(result))
 
 

@@ -285,6 +285,20 @@ def test_checkpoint_keyed_on_inputs(setup, tmp_path):
     assert c.dir != a.dir
 
 
+def test_sanitized_prove_and_determinism(setup, monkeypatch):
+    """With HALO2_SANITIZE=1 an honest prove passes every phase-boundary
+    canonicity check, and seeded proves are byte-deterministic (the
+    transcript-determinism assert of SURVEY.md §5.2); unseeded proves
+    draw CSPRNG blinding and must differ."""
+    layout, values, pk = setup
+    monkeypatch.setenv("HALO2_SANITIZE", "1")
+    a = prove(pk, values, seed=99)
+    assert verify(pk.vk, a)
+    monkeypatch.delenv("HALO2_SANITIZE")
+    assert prove(pk, values, seed=99) == a
+    assert prove(pk, values) != prove(pk, values)
+
+
 def test_second_backend_gwc_roundtrip(setup):
     """The backend seam carries a real second proving backend: the same
     circuit/pk proves and verifies through the kzg-gwc registry entry
