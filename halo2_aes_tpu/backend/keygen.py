@@ -9,6 +9,7 @@ commit (device MSMs).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from dataclasses import dataclass
 
@@ -16,13 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from halo2_aes_tpu.backend import permutation as PERM
-from halo2_aes_tpu.backend import poly as P
 from halo2_aes_tpu.backend import protocol as PROTO
 from halo2_aes_tpu.backend.srs import SRS
 from halo2_aes_tpu.circuit.ir import CompiledCircuit
 from halo2_aes_tpu.ops import curve as CV
 from halo2_aes_tpu.ops import field as F
-from halo2_aes_tpu.ops.ntt import domain
+from halo2_aes_tpu.ops.ntt import domain, ntt_many
 
 FR = F.FR
 
@@ -147,6 +147,51 @@ def keygen_cached(layout: CompiledCircuit, srs: SRS,
     return pk
 
 
+@functools.lru_cache(maxsize=None)
+def _keygen_jit(k: int, cf: int, m_perm: int, usable: int):
+    """ONE jitted executable for all of keygen's device math: fixed-column
+    field lift + INTT, sigma/id label tables, sigma INTTs, and the three
+    indicator-poly INTTs.  Keygen previously dispatched each of these
+    eagerly per column — tens of seconds of per-op dispatch/compile on
+    both CPU and the remote TPU tunnel."""
+    import jax
+
+    dom = domain(FR, k)
+    n = dom.n
+
+    def run(fixed_stack, map_col, map_row, omega_pows, delta_pows):
+        fld = F.u16_to_field(FR, fixed_stack.reshape(-1))     # (cf*n, 16)
+        fixed_coeffs = ntt_many(dom, fld, cf, inverse=True)
+
+        if m_perm:
+            sigma_values = F.mont_mul(
+                FR,
+                jnp.take(delta_pows, map_col.reshape(-1), axis=0),
+                jnp.take(omega_pows, map_row.reshape(-1), axis=0))
+            id_values = F.mont_mul(
+                FR,
+                jnp.repeat(delta_pows, n, axis=0),
+                jnp.tile(omega_pows, (m_perm, 1)))
+            sigma_coeffs = ntt_many(dom, sigma_values, m_perm, inverse=True)
+        else:
+            z = jnp.zeros((0, F.LIMBS), jnp.uint32)
+            sigma_values = id_values = sigma_coeffs = z
+
+        rows = jnp.arange(n)
+        one = jnp.broadcast_to(jnp.asarray(FR.one_mont), (n, F.LIMBS))
+        zero = jnp.zeros((n, F.LIMBS), jnp.uint32)
+        ind = jnp.concatenate([
+            F.select(rows == 0, one, zero),
+            F.select(rows == usable, one, zero),
+            F.select(rows < usable, one, zero),
+        ])
+        ind_coeffs = ntt_many(dom, ind, 3, inverse=True)
+        return (fld, fixed_coeffs, sigma_values, id_values, sigma_coeffs,
+                ind_coeffs)
+
+    return jax.jit(run)
+
+
 def keygen(layout: CompiledCircuit, srs: SRS,
            _precomputed: dict | None = None) -> ProvingKey:
     cs = layout.cs
@@ -155,51 +200,41 @@ def keygen(layout: CompiledCircuit, srs: SRS,
     n = layout.n
     ext_k = k + max(1, (cs.degree() - 2).bit_length())  # ext_n >= (d-1) n
     usable = layout.usable_rows
-    dom = domain(FR, k)
 
-    fixed_field = {}
-    fixed_coeffs = {}
-    fixed_comms = []
     fixed_ids = layout.fixed_ids()
-    for c in fixed_ids:
-        vals = jnp.asarray(layout.fixed[c])
-        assert int(np.max(layout.fixed[c])) < (1 << 16)
-        fld = F.u16_to_field(FR, vals)
-        fixed_field[c] = fld
-        fixed_coeffs[c] = P.to_coeffs(dom, fld)
-        if _precomputed is None:
-            fixed_comms.append(_commit_affine(srs, fixed_coeffs[c]))
-    if _precomputed is not None:
-        fixed_comms = _precomputed["fixed_comms"]
+    fixed_stack = layout.fixed[fixed_ids]                 # (cf, n) numpy
+    assert int(fixed_stack.max(initial=0)) < (1 << 16)
 
     if _precomputed is not None and "assembly" in _precomputed:
         assembly = _precomputed["assembly"]
     else:
         assembly = PERM.build_assembly(cs.perm_columns, n, layout.copy_pairs)
     m_perm = len(cs.perm_columns)
-    sigma_values = assembly.sigma_values(k)      # FLAT (m*n, 16)
-    id_values = assembly.id_values(k)            # FLAT (m*n, 16)
-    sigma_coeffs = jnp.concatenate([
-        P.to_coeffs(dom, sigma_values[i * n : (i + 1) * n])
-        for i in range(m_perm)
-    ]) if m_perm else jnp.zeros((0, F.LIMBS), jnp.uint32)
+    omega_pows, delta_pows = PERM._label_tables(k, max(m_perm, 1))
+
+    run = _keygen_jit(k, len(fixed_ids), m_perm, usable)
+    (fld_flat, fixed_coeffs_flat, sigma_values, id_values, sigma_coeffs,
+     ind_coeffs) = run(jnp.asarray(fixed_stack),
+                       jnp.asarray(assembly.map_col, dtype=jnp.int32),
+                       jnp.asarray(assembly.map_row, dtype=jnp.int32),
+                       omega_pows, delta_pows)
+
+    fixed_field = {c: fld_flat[i * n : (i + 1) * n]
+                   for i, c in enumerate(fixed_ids)}
+    fixed_coeffs = {c: fixed_coeffs_flat[i * n : (i + 1) * n]
+                    for i, c in enumerate(fixed_ids)}
     if _precomputed is None:
+        fixed_comms = [_commit_affine(srs, fixed_coeffs[c])
+                       for c in fixed_ids]
         sigma_comms = [_commit_affine(srs, sigma_coeffs[i * n : (i + 1) * n])
                        for i in range(m_perm)]
     else:
+        fixed_comms = _precomputed["fixed_comms"]
         sigma_comms = _precomputed["sigma_comms"]
 
-    # l_0, l_last, l_active as coefficient polys (indicator INTTs)
-    def indicator(mask):
-        fld = F.select(jnp.asarray(mask),
-                       jnp.broadcast_to(jnp.asarray(FR.one_mont), (n, F.LIMBS)),
-                       jnp.zeros((n, F.LIMBS), jnp.uint32))
-        return P.to_coeffs(dom, fld)
-
-    rows = np.arange(n)
-    l0 = indicator(rows == 0)
-    l_last = indicator(rows == usable)
-    l_active = indicator(rows < usable)
+    l0 = ind_coeffs[:n]
+    l_last = ind_coeffs[n : 2 * n]
+    l_active = ind_coeffs[2 * n : 3 * n]
 
     vk = VerifyingKey(k, ext_k, usable, cs, fixed_ids, fixed_comms, sigma_comms,
                       g2=srs.g2, s_g2=srs.s_g2)

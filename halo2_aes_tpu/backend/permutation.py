@@ -42,33 +42,15 @@ def _label_tables(k: int, m: int):
 
 @dataclass
 class PermutationAssembly:
-    """sigma mapping: for perm-column i, row j -> (col', row')."""
+    """sigma mapping: for perm-column i, row j -> (col', row').
+
+    The sigma/id label *values* (delta^i omega^j Montgomery tensors) are
+    built inside keygen's single jitted executable (keygen._keygen_jit)
+    from these maps plus the _label_tables host tables."""
 
     perm_columns: list          # global column ids, order = delta exponent
     map_col: np.ndarray         # (m, n) int32
     map_row: np.ndarray         # (m, n) int32
-
-    def sigma_values(self, k: int):
-        """FLAT (m*n, LIMBS) Montgomery sigma poly evaluations (column
-        i's rows at [i*n, (i+1)*n)); rank-2 keeps the TPU lane-packed
-        layout (rank-3 [..., 16] u32 is lane-padded 8x)."""
-        omega_pows, delta_pows = _label_tables(k, len(self.perm_columns))
-        return F.mont_mul(
-            FR,
-            jnp.take(delta_pows, jnp.asarray(self.map_col.reshape(-1)), axis=0),
-            jnp.take(omega_pows, jnp.asarray(self.map_row.reshape(-1)), axis=0),
-        )
-
-    def id_values(self, k: int):
-        """FLAT (m*n, LIMBS): delta^i * omega^j at row i*n + j."""
-        omega_pows, delta_pows = _label_tables(k, len(self.perm_columns))
-        m = len(self.perm_columns)
-        n = 1 << k
-        return F.mont_mul(
-            FR,
-            jnp.repeat(delta_pows, n, axis=0),
-            jnp.tile(omega_pows, (m, 1)),
-        )
 
 
 def build_assembly(perm_columns, n: int, copy_pairs: np.ndarray) -> PermutationAssembly:

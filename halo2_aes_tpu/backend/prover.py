@@ -44,16 +44,11 @@ from halo2_aes_tpu.backend.keygen import ProvingKey
 from halo2_aes_tpu.backend.transcript import TranscriptWriter
 from halo2_aes_tpu.ops import curve as CV
 from halo2_aes_tpu.ops import field as F
-from halo2_aes_tpu.ops.ntt import domain, ntt, ntt_flat
+from halo2_aes_tpu.ops.ntt import domain, ntt_many
 from halo2_aes_tpu.utils import sanitize as SAN
 
 FR = F.FR
 
-# max rows (count * n) per batched-NTT group: butterfly temps are ~5
-# live (rows, 16) u32 tensors, so 2^22 rows keeps one group's working
-# set ~1.3 GB — wide enough to fill the VPU, small enough for the k=20
-# phase budgets.
-_NTT_GROUP_ROWS = 1 << 22
 
 
 class DeviceAlgebra:
@@ -277,37 +272,15 @@ class _Phases:
 
         Everything stays rank-2: rank>=3 u32 [..., 16] tensors are
         lane-padded 8x on TPU (the k=20 quotient stack would inflate
-        3 GB -> 23 GB).  The single-device path groups polys into flat
-        batched transforms (ntt_flat): G polys per fori_loop iteration,
-        G capped so one group's butterfly temps stay ~a few hundred MB
-        — sequential per-poly NTTs were the quotient phase's dominant
-        cost (176 transforms at k=17)."""
+        3 GB -> 23 GB).  The single-device path is ops/ntt.ntt_many
+        (grouped flat batched lattices — sequential per-poly NTTs were
+        the quotient phase's dominant cost, 176 transforms at k=17)."""
         n = self.n
+        if self.mesh is None:
+            return ntt_many(self.dom, flat, count, inverse=inverse,
+                            shift_pows=shift_pows)
         if shift_pows is not None:
             flat = F.mont_mul_fast(FR, flat, jnp.tile(shift_pows, (count, 1)))
-        if count == 1:
-            if self.mesh is None:
-                return ntt(self.dom, flat, inverse=inverse)
-        if self.mesh is None:
-            G = max(1, min(count, _NTT_GROUP_ROWS // n))
-            groups = -(-count // G)
-            pad = groups * G - count
-            if pad:
-                flat = jnp.concatenate(
-                    [flat, jnp.zeros((pad * n, F.LIMBS), jnp.uint32)])
-            if groups == 1:
-                out = ntt_flat(self.dom, flat, G, inverse=inverse)
-            else:
-                def body(i, out):
-                    sl = jax.lax.dynamic_slice(
-                        flat, (i * G * n, 0), (G * n, F.LIMBS))
-                    r = ntt_flat(self.dom, sl, G, inverse=inverse)
-                    return jax.lax.dynamic_update_slice(
-                        out, r, (i * G * n, 0))
-
-                out = jax.lax.fori_loop(0, groups, body,
-                                        jnp.zeros_like(flat))
-            return out[: count * n] if pad else out
         from halo2_aes_tpu.parallel import ntt as pntt
 
         rows = [
