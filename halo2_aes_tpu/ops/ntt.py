@@ -194,8 +194,21 @@ def ntt_many(dom: Domain, flat, count: int, inverse: bool = False,
     spec = dom.spec
     if shift_pows is not None:
         flat = F.mont_mul_fast(spec, flat, jnp.tile(shift_pows, (count, 1)))
-    if count == 1:
+
+    # the fused four-step Pallas lattice (all butterfly stages in VMEM)
+    # replaces the per-stage HBM-gather XLA path when enabled — an
+    # explicit fast site per the Mosaic call-site economics
+    from halo2_aes_tpu.ops import pallas_ntt as PN
+
+    if PN.enabled_for(dom):
+        def transform(fl, g):
+            return PN.ntt_flat(dom, fl, g, inverse=inverse)
+    elif count == 1:
         return ntt(dom, flat, inverse=inverse)
+    else:
+        def transform(fl, g):
+            return ntt_flat(dom, fl, g, inverse=inverse)
+
     G = max(1, min(count, _group_rows() // n))
     groups = -(-count // G)
     pad = groups * G - count
@@ -203,13 +216,13 @@ def ntt_many(dom: Domain, flat, count: int, inverse: bool = False,
         flat = jnp.concatenate(
             [flat, jnp.zeros((pad * n, F.LIMBS), jnp.uint32)])
     if groups == 1:
-        out = ntt_flat(dom, flat, G, inverse=inverse)
+        out = transform(flat, G)
     else:
         def body(i, out):
             sl = jax.lax.dynamic_slice(
                 flat, (i * G * n, 0), (G * n, F.LIMBS))
-            r = ntt_flat(dom, sl, G, inverse=inverse)
-            return jax.lax.dynamic_update_slice(out, r, (i * G * n, 0))
+            return jax.lax.dynamic_update_slice(
+                out, transform(sl, G), (i * G * n, 0))
 
         out = jax.lax.fori_loop(0, groups, body, jnp.zeros_like(flat))
     return out[: count * n] if pad else out

@@ -185,11 +185,19 @@ def mont_mul(spec: F.FieldSpec, a, b):
     return out
 
 
-def enable_in_field_ops() -> None:
+def enable_in_field_ops(ntt: bool = False) -> None:
     """Route field.mont_mul's large multiplies and curve.add's large
-    batches through the Pallas kernels."""
+    batches through the Pallas kernels.  ``ntt=True`` additionally
+    routes the grouped batched transforms (ops/ntt.ntt_many) through
+    the fused four-step Pallas NTT — more Mosaic call sites, so longer
+    cold compiles (see memory/tpu-pallas-compile-rules); enable for
+    steady-state serving."""
     from halo2_aes_tpu.ops import pallas_curve
 
     set_enabled(True)
     F.set_pallas(True)
     pallas_curve.set_enabled(True)
+    if ntt:
+        from halo2_aes_tpu.ops import pallas_ntt
+
+        pallas_ntt.set_enabled(True)

@@ -1,6 +1,10 @@
 """Steady-state AES prove timing: compile-warm pipeline, then timed proves.
 
-Usage: python scripts/prove_steady.py [k] [blocks] [sets]
+Usage: python scripts/prove_steady.py [k] [blocks] [sets] [--pallas-ntt]
+
+--pallas-ntt additionally routes the batched transforms through the
+fused four-step Pallas NTT (more Mosaic cold compiles, faster steady
+state — see ops/pallas_ntt.py).
 """
 
 import pathlib
@@ -11,9 +15,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 17
-    blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    sets = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if len(args) > 0 else 17
+    blocks = int(args[1]) if len(args) > 1 else 4
+    sets = int(args[2]) if len(args) > 2 else 1
+    pallas_ntt = "--pallas-ntt" in sys.argv
 
     from halo2_aes_tpu.ops import field
 
@@ -26,7 +32,7 @@ def main():
     if jax.default_backend() != "cpu":
         from halo2_aes_tpu.ops import pallas_field
 
-        pallas_field.enable_in_field_ops()
+        pallas_field.enable_in_field_ops(ntt=pallas_ntt)
     import jax.numpy as jnp
     import numpy as np
 
