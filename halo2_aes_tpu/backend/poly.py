@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from halo2_aes_tpu.ops import field as F
-from halo2_aes_tpu.ops.ntt import Domain, domain, ntt
+from halo2_aes_tpu.ops.ntt import Domain, domain, ntt_many
 
 FR = F.FR
 GEN = 7  # Fr multiplicative generator (coset shift)
@@ -35,11 +35,12 @@ def _shift_powers(k: int, inverse: bool):
 
 
 def to_coeffs(dom: Domain, evals):
-    return ntt(dom, evals, inverse=True)
+    # ntt_many(count=1) == ntt, plus the Pallas fast-path routing gate
+    return ntt_many(dom, evals, 1, inverse=True)
 
 
 def to_evals(dom: Domain, coeffs):
-    return ntt(dom, coeffs)
+    return ntt_many(dom, coeffs, 1)
 
 
 def pad_coeffs(coeffs, n: int):
@@ -52,12 +53,13 @@ def pad_coeffs(coeffs, n: int):
 def coset_evals(dom_ext: Domain, coeffs):
     """Evaluate coeffs (m <= ext_n) on the coset {g * w_ext^i}."""
     c = pad_coeffs(coeffs, dom_ext.n)
-    return ntt(dom_ext, F.mont_mul(FR, c, _shift_powers(dom_ext.k, False)))
+    return ntt_many(dom_ext, c, 1,
+                    shift_pows=_shift_powers(dom_ext.k, False))
 
 
 def coset_interp(dom_ext: Domain, evals):
     """Inverse of coset_evals: coset evaluations -> coefficients."""
-    c = ntt(dom_ext, evals, inverse=True)
+    c = ntt_many(dom_ext, evals, 1, inverse=True)
     return F.mont_mul(FR, c, _shift_powers(dom_ext.k, True))
 
 
