@@ -349,8 +349,14 @@ def pairing_product_is_one(pairs) -> bool:
     """prod e(P_i, Q_i) == 1, with a single shared final exponentiation.
 
     The KZG check e(W, [tau]_2) = e(L, [1]_2) is phrased as
-    pairing_product_is_one([(L, G2), (-W, [tau]_2)]).
+    pairing_product_is_one([(L, G2), (-W, [tau]_2)]).  Routes through
+    the native C++ backend (halo2_aes_tpu.native) when available; this
+    python-bigint path is the correctness oracle and fallback.
     """
+    from halo2_aes_tpu import native
+
+    if native.available():
+        return native.pairing_product_is_one(pairs)
     f = FQ12_ONE
     for p_g1, q_g2 in pairs:
         f = fq12_mul(f, miller_loop(q_g2, p_g1))

@@ -101,12 +101,8 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None,
 
     # combined h commitment and its expected evaluation
     xn = pow(x, n, R)
-    h_comm = None
-    sc = 1
-    for j, pt in enumerate(h_pieces):
-        h_comm = CV.py_add(h_comm, CV.py_mul(pt, sc) if sc != 1 else pt)
-        sc = sc * xn % R
-    comms[("h",)] = h_comm
+    comms[("h",)] = CV.host_msm(
+        h_pieces, [pow(xn, j, R) for j in range(len(h_pieces))])
 
     def rot_point(rot):
         r = usable if rot == "u" else rot
@@ -202,7 +198,7 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None,
     t_points = [rot_point(r_) for r_ in t_rots]
     zt_u = P.eval_host(P.vanishing_poly_coeffs(t_points), u)
 
-    l_comm = CV.py_mul(w_h, -zt_u % R)
+    msm_pts, msm_scs = [w_h], [-zt_u % R]
     const_corr = 0
     v_pow = 1
     for key, rots in groups:
@@ -211,13 +207,14 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None,
         s = v_pow * P.eval_host(
             P.vanishing_poly_coeffs([p for p in t_points if p not in pts]), u
         ) % R
-        l_comm = CV.py_add(l_comm, CV.py_mul(comms[key], s))
+        msm_pts.append(comms[key])
+        msm_scs.append(s)
         r_u = P.eval_host(P.lagrange_interp_host(pts, evs), u)
         const_corr = (const_corr + s * r_u) % R
         v_pow = v_pow * v % R
-    l_comm = CV.py_add(l_comm, CV.py_mul((CV.G1_X, CV.G1_Y), -const_corr % R))
-
-    lhs = CV.py_add(l_comm, CV.py_mul(w_q, u))
+    msm_pts += [(CV.G1_X, CV.G1_Y), w_q]
+    msm_scs += [-const_corr % R, u]
+    lhs = CV.host_msm(msm_pts, msm_scs)
     neg_wq = None if w_q is None else (w_q[0], -w_q[1] % PR.Q)
     if not PR.pairing_product_is_one([(lhs, vk.g2), (neg_wq, vk.s_g2)]):
         raise VerifyError("pairing check failed")
@@ -246,25 +243,27 @@ def _verify_gwc(vk, tr, plan, comms, evals, rot_point):
     except ValueError as e:
         raise VerifyError(str(e)) from e
 
-    lhs = None
-    rhs = None
+    lhs_pts, lhs_scs = [], []
+    rhs_pts, rhs_scs = [], []
+    e_total = 0
     u_pow = 1
     for rot, w in zip(rot_order, w_comms):
         z = rot_point(rot)
-        f_comm = None
-        e_val = 0
         v_pow = 1
         for key in by_rot[rot]:
-            f_comm = CV.py_add(f_comm, CV.py_mul(comms[key], v_pow))
-            e_val = (e_val + v_pow * evals[(key, rot)]) % R
+            rhs_pts.append(comms[key])
+            rhs_scs.append(u_pow * v_pow % R)
+            e_total = (e_total + u_pow * v_pow * evals[(key, rot)]) % R
             v_pow = v_pow * v % R
-        term = CV.py_add(
-            CV.py_add(CV.py_mul(w, z), f_comm),
-            CV.py_mul((CV.G1_X, CV.G1_Y), -e_val % R),
-        )
-        lhs = CV.py_add(lhs, CV.py_mul(w, u_pow))
-        rhs = CV.py_add(rhs, CV.py_mul(term, u_pow))
+        lhs_pts.append(w)
+        lhs_scs.append(u_pow)
+        rhs_pts.append(w)
+        rhs_scs.append(u_pow * z % R)
         u_pow = u_pow * u % R
+    rhs_pts.append((CV.G1_X, CV.G1_Y))
+    rhs_scs.append(-e_total % R)
+    lhs = CV.host_msm(lhs_pts, lhs_scs)
+    rhs = CV.host_msm(rhs_pts, rhs_scs)
     neg_rhs = None if rhs is None else (rhs[0], -rhs[1] % PR.Q)
     if not PR.pairing_product_is_one([(lhs, vk.s_g2), (neg_rhs, vk.g2)]):
         raise VerifyError("pairing check failed")

@@ -211,6 +211,24 @@ def py_mul(p, k: int):
     return acc
 
 
+def host_msm(points, scalars):
+    """sum_i scalars[i] * points[i] on host (affine int pairs, None =
+    identity).  Routes through the native C++ backend when available
+    (halo2_aes_tpu.native — the verifier's hot path), else folds with
+    the python-bigint oracle."""
+    from halo2_aes_tpu import native
+
+    if native.available():
+        return native.g1_msm(points, [int(s) % F.FR.modulus for s in scalars])
+    acc = None
+    for p, s in zip(points, scalars):
+        s = int(s) % F.FR.modulus
+        if p is None or s == 0:
+            continue
+        acc = py_add(acc, p if s == 1 else py_mul(p, s))
+    return acc
+
+
 def py_is_on_curve(p) -> bool:
     if p is None:
         return True
