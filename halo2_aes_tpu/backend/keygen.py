@@ -98,12 +98,7 @@ def srs_identity(srs: SRS) -> str:
     a different tau (or a ceremony SRS of the same k) never aliases a
     cached proving key built for another tau — stale fixed/sigma
     commitments would make every honest proof fail the pairing check."""
-    h = hashlib.blake2b(digest_size=8)
-    take = min(4, int(srs.g1_x.shape[0]))
-    h.update(np.ascontiguousarray(np.asarray(srs.g1_x[:take])).tobytes())
-    h.update(np.ascontiguousarray(np.asarray(srs.g1_y[:take])).tobytes())
-    h.update(repr(srs.s_g2).encode())
-    return h.hexdigest()
+    return srs.identity_tag()
 
 
 def keygen_cached(layout: CompiledCircuit, srs: SRS,

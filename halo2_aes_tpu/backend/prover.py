@@ -220,7 +220,12 @@ class _Phases:
         self.chunks = -(-len(cs.perm_columns) // self.chunk_len)
         self.n_lk = len(cs.lookups)
 
-        # quotient stack key order (static)
+        # quotient stack key order (static).  Keys split into STATIC
+        # polys (fixed columns, sigmas, lagrange indicators — identical
+        # for every proof under this pk) and DYNAMIC per-proof polys;
+        # the static sub-coset evaluations are computed once per pk and
+        # cached on device (self._static_evals), halving the per-proof
+        # quotient NTT count.
         needed = set()
         for _, g in cs.gates:
             needed |= {c for c, _ in g.columns()}
@@ -230,14 +235,19 @@ class _Phases:
                 needed.add(tc)
         needed |= set(cs.perm_columns)
         self.needed_cols = sorted(needed)
-        keys = [("col", c) for c in self.needed_cols]
-        keys += [("sigma", i) for i in range(len(cs.perm_columns))]
-        keys += [("perm_z", t) for t in range(self.chunks)]
+        dyn_cols = set(self.adv_ids) | set(self.inst_ids)
+        skeys = [("col", c) for c in self.needed_cols if c not in dyn_cols]
+        skeys += [("sigma", i) for i in range(len(cs.perm_columns))]
+        skeys += [("l0",), ("l_last",), ("l_active",)]
+        dkeys = [("col", c) for c in self.needed_cols if c in dyn_cols]
+        dkeys += [("perm_z", t) for t in range(self.chunks)]
         for i in range(self.n_lk):
-            keys += [("lookup_z", i), ("lookup_a", i), ("lookup_s", i)]
-        keys += [("l0",), ("l_last",), ("l_active",)]
-        self.q_keys = keys
-        self.q_index = {key: i for i, key in enumerate(keys)}
+            dkeys += [("lookup_z", i), ("lookup_a", i), ("lookup_s", i)]
+        self.q_static_keys = skeys
+        self.q_dyn_keys = dkeys
+        self.q_keys = skeys + dkeys
+        self.q_index = {key: i for i, key in enumerate(self.q_keys)}
+        self._static_evals = {}          # sub-coset s -> (S*n, 16) device
 
         self._delta_pows = FR.host_powers(PERM.delta(), len(cs.perm_columns))
 
@@ -256,11 +266,42 @@ class _Phases:
         self.intt_nlk = wrap(
             lambda flat: self._ntt_many(flat, self.n_lk, inverse=True))
         self.quotient_subcoset = wrap(self._quotient_subcoset)
+        self.ntt_stack_static = wrap(
+            lambda stack, sp: self._ntt_stack(
+                stack, len(self.q_static_keys), sp))
         self.quotient_finish = wrap(self._quotient_finish)
         self.h_combine = wrap(self._h_combine)
         self.shplonk_f = wrap(self._shplonk_f)
         self.shplonk_l = wrap(self._shplonk_l)
         self.gwc_witness = wrap(self._gwc_witness)
+        self._eval_jits = {}
+
+    def eval_many(self, flat, x_m, count: int):
+        """Evaluate ``count`` size-n coefficient polys (FLAT
+        (count*n, 16)) at x_m ((16,) Montgomery) -> (count, 16)
+        Montgomery values.  One jitted call per stack size — the evals
+        phase previously dispatched one eval_at per poly with a
+        host-bigint power table each (~30 host round trips)."""
+        fn = self._eval_jits.get(count)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._eval_many, count))
+            self._eval_jits[count] = fn
+        return fn(flat, x_m)
+
+    def _eval_many(self, count, flat, x_m):
+        n = self.n
+        pw = F.powers(FR, x_m, n)
+        cur = F.mont_mul_fast(FR, flat, jnp.tile(pw, (count, 1)))
+        m = n
+        # segment pair-fold, all arithmetic rank-2 (lane-padding rules)
+        while m > 1:
+            half = m // 2
+            c3 = cur.reshape(count, m, F.LIMBS)
+            lo = c3[:, :half].reshape(count * half, F.LIMBS)
+            hi = c3[:, half : 2 * half].reshape(count * half, F.LIMBS)
+            cur = F.add(FR, lo, hi)
+            m = half
+        return cur.reshape(count, F.LIMBS)
 
     # -- transform/commit indirections (single-device vs mesh-sharded) ----
 
@@ -415,15 +456,58 @@ class _Phases:
 
     # -- phase 4: quotient on sub-cosets ----------------------------------
 
-    def _quotient_subcoset(self, coeff_stack, theta_m, beta_m, gamma_m, y_m,
-                           shift_pows, zh_inv):
-        """One sub-coset's quotient values: NTT every stacked poly onto
-        the coset, fold all constraint terms with y, divide by Z_H."""
+    def _ntt_stack(self, stack, count, shift_pows):
+        """Coset-NTT ``count`` stacked polys (one jitted executable)."""
+        return self._ntt_many(stack, count, inverse=False,
+                              shift_pows=shift_pows)
+
+    def static_subcoset_evals(self, s: int):
+        """Sub-coset evaluations of the static quotient polys, cached
+        per pk per sub-coset (they are proof-independent)."""
+        out = self._static_evals.get(s)
+        if out is None:
+            stack = jnp.concatenate(
+                [jnp.asarray(self._coeffs_static(key))
+                 for key in self.q_static_keys])
+            shift_np, _ = _subcoset_tables_np(self.k, self.ext_k, s)
+            out = self.ntt_stack_static(stack, jnp.asarray(shift_np))
+            # cache only while the full set fits a modest HBM slice
+            # (k=20 static evals would be ~9 GB — recompute per proof
+            # there instead of starving the quotient phase)
+            total = (len(self.q_static_keys) * self.ratio
+                     * self.n * F.LIMBS * 4)
+            if total <= (1 << 31):
+                self._static_evals[s] = jax.block_until_ready(out)
+        return out
+
+    def _coeffs_static(self, key):
+        pk = self.pk
+        kind = key[0]
+        if kind == "col":
+            return pk.fixed_coeffs[key[1]]
+        if kind == "sigma":
+            n = self.n
+            return pk.sigma_coeffs[key[1] * n : (key[1] + 1) * n]
+        if kind == "l0":
+            return pk.l0_coeffs
+        if kind == "l_last":
+            return pk.l_last_coeffs
+        if kind == "l_active":
+            return pk.l_active_coeffs
+        raise KeyError(key)
+
+    def _quotient_subcoset(self, static_evals, dyn_stack, theta_m, beta_m,
+                           gamma_m, y_m, shift_pows, zh_inv):
+        """One sub-coset's quotient values: NTT the per-proof stacked
+        polys onto the coset (static polys arrive pre-evaluated), fold
+        all constraint terms with y, divide by Z_H."""
         n = self.n
-        evals = self._ntt_many(coeff_stack, len(self.q_keys), inverse=False,
-                               shift_pows=shift_pows)
-        by_key = {key: evals[i * n : (i + 1) * n]
-                  for i, key in enumerate(self.q_keys)}
+        dyn_evals = self._ntt_many(dyn_stack, len(self.q_dyn_keys),
+                                   inverse=False, shift_pows=shift_pows)
+        by_key = {key: static_evals[i * n : (i + 1) * n]
+                  for i, key in enumerate(self.q_static_keys)}
+        by_key.update({key: dyn_evals[i * n : (i + 1) * n]
+                       for i, key in enumerate(self.q_dyn_keys)})
         pts = F.mont_mul(FR, jnp.asarray(self.dom.omega_powers()),
                          shift_pows[1])
         delta_pows = jnp.asarray(self._delta_pows)
@@ -804,13 +888,14 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
 
     st = ck.load("quotient") if ck else None
     if st is None:
-        q_stack = jnp.concatenate(
-            [jnp.asarray(coeffs_for(key)) for key in ph.q_keys])
+        dyn_stack = jnp.concatenate(
+            [jnp.asarray(coeffs_for(key)) for key in ph.q_dyn_keys])
         q_subs = []
         for s in range(ph.ratio):
             shift_np, zh_inv_np = _subcoset_tables_np(k, ph.ext_k, s)
             q_subs.append(ph.quotient_subcoset(
-                q_stack, theta_m, beta_m, gamma_m, y_m,
+                ph.static_subcoset_evals(s), dyn_stack,
+                theta_m, beta_m, gamma_m, y_m,
                 jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))
         pieces = ph.quotient_finish(q_subs)
         piece_pts = _commit_pts(ph, pieces, ph.d - 1)
@@ -855,9 +940,11 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         by_rot.setdefault(rot, []).append(key)
     evals = {}
     for rot, keys in by_rot.items():
-        pt = rot_point(rot)
-        for kk in keys:
-            evals[(kk, rot)] = P.eval_at(poly_coeffs(kk), pt)[0]
+        stack = jnp.concatenate([poly_coeffs(kk) for kk in keys])
+        vals = ph.eval_many(stack, jnp.asarray(FR.encode(rot_point(rot))),
+                            len(keys))
+        for kk, v in zip(keys, FR.decode(vals)):
+            evals[(kk, rot)] = v
     for key, rot in plan:
         if key[0] != "h":
             tr.write_scalar(evals[(key, rot)])

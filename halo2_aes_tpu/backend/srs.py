@@ -42,10 +42,22 @@ class SRS:
     g1_y: jnp.ndarray
     g2: tuple                # G2 generator, affine Fq2 ints
     s_g2: tuple              # [tau] G2
+    cache_dir: str | None = None   # where setup() may cache derived tables
 
     @property
     def n(self) -> int:
         return 1 << self.k
+
+    def identity_tag(self) -> str:
+        """Short identity of this concrete SRS (hash of a few G1 powers
+        + the G2 side) — distinguishes same-k SRS instances with
+        different tau (see keygen.srs_identity)."""
+        h = hashlib.blake2b(digest_size=8)
+        take = min(4, int(self.g1_x.shape[0]))
+        h.update(np.ascontiguousarray(np.asarray(self.g1_x[:take])).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(self.g1_y[:take])).tobytes())
+        h.update(repr(self.s_g2).encode())
+        return h.hexdigest()
 
     def commit(self, coeffs_mont):
         """Commit a coefficient-form poly ((m, 16) Montgomery, m <= n).
@@ -62,9 +74,27 @@ class SRS:
         c = MSM.default_window(self.n)
         tables = getattr(self, "_msm_tables", None)
         if tables is None:
-            tables = MSM.build_tables((self.g1_x, self.g1_y), c)
+            tables = self._load_or_build_tables(c)
             object.__setattr__(self, "_msm_tables", tables)
         return MSM.msm((self.g1_x, self.g1_y), scalars, c=c, tables=tables)
+
+    def _load_or_build_tables(self, c: int):
+        """Window-shifted MSM tables, cached on disk per SRS identity:
+        building them on device costs hundreds of batched doublings +
+        inversions (minutes of cold-start on the remote tunnel); the
+        ~0.4 GB npz loads in seconds."""
+        path = None
+        if self.cache_dir is not None:
+            path = os.path.join(
+                self.cache_dir,
+                f"msm_tables_{self.k}_{self.identity_tag()}_c{c}.npz")
+            if os.path.exists(path):
+                z = np.load(path)
+                return jnp.asarray(z["tx"]), jnp.asarray(z["ty"])
+        tables = MSM.build_tables((self.g1_x, self.g1_y), c)
+        if path is not None:
+            np.savez(path, tx=np.asarray(tables[0]), ty=np.asarray(tables[1]))
+        return tables
 
 
 def _host_window_tables(c: int = _WINDOW):
@@ -157,9 +187,10 @@ def setup(k: int, seed: bytes = b"halo2_aes_tpu dev srs",
         if os.path.exists(path):
             z = np.load(path)
             return SRS(k, jnp.asarray(z["g1_x"]), jnp.asarray(z["g1_y"]),
-                       PR.G2, PR.g2_mul(PR.G2, tau))
+                       PR.G2, PR.g2_mul(PR.G2, tau), cache_dir=cache_dir)
     g1_x, g1_y = _gen_g1_powers(k, tau)
-    srs = SRS(k, g1_x, g1_y, PR.G2, PR.g2_mul(PR.G2, tau))
+    srs = SRS(k, g1_x, g1_y, PR.G2, PR.g2_mul(PR.G2, tau),
+              cache_dir=cache_dir)
     if path is not None:
         os.makedirs(cache_dir, exist_ok=True)
         np.savez(path, g1_x=np.asarray(g1_x), g1_y=np.asarray(g1_y))

@@ -209,8 +209,11 @@ def ntt_many(dom: Domain, flat, count: int, inverse: bool = False,
         def transform(fl, g):
             return ntt_flat(dom, fl, g, inverse=inverse)
 
-    G = max(1, min(count, _group_rows() // n))
-    groups = -(-count // G)
+    Gmax = max(1, min(count, _group_rows() // n))
+    groups = -(-count // Gmax)
+    # balance the group size: 40 polys with Gmax=32 should run as 2x20,
+    # not 32 + 8-plus-24-zero-pads (the pad rows are full transforms)
+    G = -(-count // groups)
     pad = groups * G - count
     if pad:
         flat = jnp.concatenate(
