@@ -83,18 +83,22 @@ class SRS:
         building them on device costs hundreds of batched doublings +
         inversions (minutes of cold-start on the remote tunnel); the
         ~0.4 GB npz loads in seconds."""
-        path = None
+        path = old = None
         if self.cache_dir is not None:
-            path = os.path.join(
-                self.cache_dir,
-                f"msm_tables_{self.k}_{self.identity_tag()}_c{c}.npz")
+            base = f"msm_tables_{self.k}_{self.identity_tag()}_c{c}"
+            path = os.path.join(self.cache_dir, base + "_v2.npz")
+            old = os.path.join(self.cache_dir, base + ".npz")
             if os.path.exists(path):
-                z = np.load(path)
-                return jnp.asarray(z["tx"]), jnp.asarray(z["ty"])
-        tables = MSM.build_tables((self.g1_x, self.g1_y), c)
+                return jnp.asarray(np.load(path)["txy"])
+        if old is not None and os.path.exists(old):
+            # convert a round-2 (tx, ty) cache to the interleaved format
+            z = np.load(old)
+            txy = np.concatenate([z["tx"], z["ty"]], axis=1)
+        else:
+            txy = np.asarray(MSM.build_tables((self.g1_x, self.g1_y), c))
         if path is not None:
-            np.savez(path, tx=np.asarray(tables[0]), ty=np.asarray(tables[1]))
-        return tables
+            np.savez(path, txy=txy)
+        return jnp.asarray(txy)
 
 
 def _host_window_tables(c: int = _WINDOW):

@@ -47,7 +47,15 @@ SCALAR_BITS = 254
 # max gathered-tree rows (G * n_pad) per window group: the rank-2 tree
 # holds ~2*rows per level chain * 3 coords * 64 B/row (~0.4 GB/2^20
 # rows), and the k=20 prover phases keep most of HBM occupied already.
+# Overridable for experiments / memory-rich single-MSM runs.
 _GROUP_BUDGET = 1 << 20
+
+
+def _group_budget() -> int:
+    import os
+
+    v = os.environ.get("HALO2_TPU_MSM_GROUP_BUDGET")
+    return int(v) if v else _GROUP_BUDGET
 
 
 def default_window(n: int) -> int:
@@ -84,7 +92,9 @@ def digit_matrix(scalars, c: int):
 
 def _tree_add(pts):
     """Fold a stacked point array (m, ..., LIMBS) down axis 0 with the
-    complete adder: log2(m) sequential levels."""
+    complete adder: log2(m) sequential levels (contiguous halves — a
+    stride-2 row slice of a (rows, 16) u32 tensor costs ~4x a
+    contiguous one on TPU, measured in scripts/msm_profile.py)."""
     x, y, z = pts
     m = x.shape[0]
     while m > 1:
@@ -99,6 +109,29 @@ def _tree_add(pts):
     return (x[0], y[0], z[0])
 
 
+def _bitrev_cols(x, w: int):
+    """Bit-reverse the low ``w`` bits of a u32/int array (values < 2^w)."""
+    if w == 0:
+        return jnp.zeros_like(x)
+    x = x.astype(jnp.uint32)
+    x = ((x & 0x55555555) << 1) | ((x >> 1) & 0x55555555)
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+    x = (x << 16) | (x >> 16)
+    return (x >> (32 - w)).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm_np(lg: int) -> np.ndarray:
+    n = 1 << lg
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(lg):
+        rev |= ((idx >> b) & 1) << (lg - 1 - b)
+    return rev.astype(np.int32)
+
+
 def _double_n(p, times: int):
     """times sequential doublings as a fori_loop (one doubler in the
     trace regardless of times — compile-size matters on this host)."""
@@ -110,10 +143,10 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
     """Per-window bucket-weighted sums.
 
     px/py: (n_pad, 16) affine Montgomery points (pow-2 padded), shared
-    by every window — OR ``tables`` (tx, ty) flat (W*n, 16) per-window
-    affine points (the 2^{cw}-shifted SRS tables) with ``tbase`` (G,)
-    row offsets, in which case px/py are ignored and the caller skips
-    the Horner fold entirely.
+    by every window — OR ``tables``: ONE interleaved (W*n, 32) array of
+    per-window affine rows (the 2^{cw}-shifted SRS tables) with
+    ``tbase`` (G,) window indices, in which case px/py are ignored and
+    the caller skips the Horner fold entirely.
     digs:  (G, n_pad) int32 digits for a group of G windows
            (padding rows carry digit 0 and are masked to identity).
     Returns (x, y, z) each (G, 16): S_w = sum_b b * bucket_b.
@@ -122,7 +155,7 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
     tensors are lane-padded 8x on TPU, which blew the k=20 HBM budget
     (the gathered tree alone inflated ~0.4 GB -> ~3.4 GB as rank-3).
     Windows live as contiguous row segments of the flat tensors; every
-    segment length is a power of two, so the stride-2 pair folds of the
+    segment length is a power of two, so the half-split folds of the
     up-sweep never pair rows across a window boundary.
     """
     G, n_pad = digs.shape
@@ -139,34 +172,60 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
     ds = (keys >> idx_bits).astype(jnp.int32)            # sorted digits
     order = (keys & jnp.uint32(n_pad - 1)).astype(jnp.int32)
 
+    # leaves live in BIT-REVERSED sorted position: the up-sweep then
+    # pairs contiguous halves instead of stride-2 rows (a stride-2 row
+    # slice of (rows, 16) u32 costs ~4x a contiguous one on TPU), and
+    # the Fenwick extraction bit-reverses its node indices to match.
+    br = jnp.asarray(_bitrev_perm_np(lg))
+    order_br = jnp.take(order, br, axis=1)
+
     if tables is None:
-        flat_idx = order.reshape(-1)                     # (G*n_pad,)
-        sx = jnp.take(px, flat_idx, axis=0)              # (G*n_pad, 16)
-        sy = jnp.take(py, flat_idx, axis=0)
+        pxy = jnp.concatenate([px, py], axis=1)          # (n_pad, 32)
+        flat_idx = order_br.reshape(-1)                  # (G*n_pad,)
+        sxy = jnp.take(pxy, flat_idx, axis=0)            # (G*n_pad, 32)
     else:
-        tx, ty = tables
-        flat_idx = (tbase[:, None] + order).reshape(-1)
-        sx = jnp.take(tx, flat_idx, axis=0)
-        sy = jnp.take(ty, flat_idx, axis=0)
+        # WINDOW-LOCAL takes: each step gathers from its own (n, 32)
+        # table slice — ~2.7x faster than one flat take spanning the
+        # whole multi-hundred-MB table (locality; measured on v5e)
+        t3 = tables.reshape(-1, n_pad, 2 * F.LIMBS)      # (W, n, 32)
+
+        def _gather_one(args):
+            w, o = args
+            tw = jax.lax.dynamic_index_in_dim(t3, w, axis=0,
+                                              keepdims=False)
+            return jnp.take(tw, o, axis=0)
+
+        sxy = jax.lax.map(_gather_one, (tbase, order_br))
+        sxy = sxy.reshape(G * n_pad, 2 * F.LIMBS)
+    sx = sxy[:, :F.LIMBS]
+    sy = sxy[:, F.LIMBS:]
     # padding -> the identity class (0 : y!=0 : 0): the homogeneous
     # complete adder needs X masked to 0 and Y nonzero, Z = 0.
-    live = (order < n_real).reshape(-1, 1)
+    live = (order_br < n_real).reshape(-1, 1)
     sx = jnp.where(live, sx, jnp.uint32(0))
     sy = jnp.where(live, sy, one)
     sz = jnp.where(live, one, jnp.uint32(0))
 
-    def _pair_fold_once(cur):
-        # halves every window segment: segment lengths are even powers
-        # of two, so rows 2i / 2i+1 always belong to the same window
-        return CV.add(tuple(t[0::2] for t in cur),
-                      tuple(t[1::2] for t in cur))
+    def _halves_fold_once(cur, m):
+        # adds row j to row j+m/2 inside every window segment; with
+        # bit-reversed leaves this IS the adjacent-pair interval tree
+        half = m // 2
+
+        def _split(t):
+            t3 = t.reshape(G, m, F.LIMBS)
+            return (t3[:, :half].reshape(G * half, F.LIMBS),
+                    t3[:, half:].reshape(G * half, F.LIMBS))
+
+        lo, hi = zip(*(_split(t) for t in cur))
+        return CV.add(tuple(lo), tuple(hi))
 
     # ---- up-sweep: dyadic interval tree over the sorted order ------------
+    # levels[l] rows are nodes in bit-reversed (lg-l)-bit index order
     levels = [(sx, sy, sz)]                              # lvl: (G*(n_pad>>lvl), 16)
     cur = (sx, sy, sz)
     m = n_pad
     while m > 1:
-        cur = _pair_fold_once(cur)
+        cur = _halves_fold_once(cur, m)
         m //= 2
         levels.append(cur)
     root = cur                                           # (G, 16)
@@ -184,6 +243,7 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
         bit = (((mcounts >> lvl) & 1) == 1).reshape(-1)  # (G*B,)
         idx = (mcounts >> (lvl + 1)) << 1
         idx = jnp.clip(idx, 0, m_lvl - 1)
+        idx = _bitrev_cols(idx, lg - lvl)                # physical row
         flat = (gofs * m_lvl + idx).reshape(-1)          # rows of levels[lvl]
         gathered = tuple(jnp.take(t, flat, axis=0) for t in levels[lvl])
         node = tuple(
@@ -201,7 +261,7 @@ def _window_sums(px, py, digs, c: int, n_real: int, tables=None,
     )
     m = buckets
     while m > 1:                                         # (G*B, 16) -> (G, 16)
-        cur = _pair_fold_once(cur)
+        cur = _halves_fold_once(cur, m)
         m //= 2
     sum_rest = cur
     scaled = CV.add(_double_n(root, c), CV.neg(root))    # (2^c - 1) * root
@@ -222,9 +282,10 @@ def _tables_normalize(sx, sy, sz):
 
 
 def build_tables(points, c: int):
-    """Affine window tables T[w][i] = 2^{cw} * P_i as a flat
-    (tx, ty) pair, each (W*n, 16) — window w's points at rows
-    [w*n, (w+1)*n).
+    """Affine window tables T[w][i] = 2^{cw} * P_i as ONE interleaved
+    (W*n, 32) array (x limbs in lanes [0,16), y in [16,32); window w's
+    points at rows [w*n, (w+1)*n)) — one 32-lane row gather fetches
+    both coordinates (measured ~1.3x the two-take variant).
 
     One-time per SRS (role of a Pippenger precomputation): with these,
     ``msm`` needs NO Horner doubling chain — every window's sum is
@@ -249,14 +310,13 @@ def build_tables(points, c: int):
         # normalize PER WINDOW: one whole-table batch_inv lets XLA pick
         # 8x lane-padded layouts for its scan temps (measured 41 GB at
         # k=20); per-window the temps are bounded by ~n rows
-        txs, tys = [], []
+        rows = []
         for w in range(W):
             if w:
                 cur = _double_c(cur, c)
             ax, ay = _tables_normalize(*cur)
-            txs.append(ax)
-            tys.append(ay)
-        return jnp.concatenate(txs), jnp.concatenate(tys)  # each (W*n, 16)
+            rows.append(jnp.concatenate([ax, ay], axis=1))
+        return jnp.concatenate(rows)                       # (W*n, 32)
     finally:
         F.set_pallas(f_flag)
         pallas_curve.set_enabled(c_flag)
@@ -268,10 +328,11 @@ def msm(points, scalars, c: int | None = None, tables=None):
 
     points:  (x, y) affine Montgomery limb arrays, each (n, 16).
     scalars: (n, 16) PLAIN Fr limb array.
-    tables:  optional ``build_tables`` output for these points (n must
-             be a power of two): windows are pre-scaled by 2^{cw}, so
-             the sequential Horner doubling chain (the latency tail of
-             the table-less path) disappears.
+    tables:  optional ``build_tables`` output ((W*n, 32) interleaved
+             affine rows; n must be a power of two): windows are
+             pre-scaled by 2^{cw}, so the sequential Horner doubling
+             chain (the latency tail of the table-less path)
+             disappears.
     Returns a projective point (3 x (16,) limbs, Montgomery).
 
     Jitted at this boundary: compiled once per (n, c) and reused across
@@ -291,21 +352,22 @@ def msm(points, scalars, c: int | None = None, tables=None):
     digs = digit_matrix(scalars, c)                      # (W, n), LSB first
     W = digs.shape[0]
     if tables is not None:
-        assert tables[0].shape[0] == W * n
+        assert tables.shape == (W * n, 2 * F.LIMBS)
     if n_pad != n:
         digs = jnp.pad(digs, ((0, 0), (0, n_pad - n)))
 
-    group = max(1, min(W, _GROUP_BUDGET // n_pad))
+    group = max(1, min(W, _group_budget() // n_pad))
     n_groups = -(-W // group)
+    group = -(-W // n_groups)   # balance: 26 windows as 4x7, not 3x8+2
     if n_groups * group != W:  # pad with all-zero-digit windows (S_w = 0)
         digs = jnp.pad(digs, ((0, n_groups * group - W), (0, 0)))
     digs = digs.reshape(n_groups, group, n_pad)
 
     if tables is not None:
-        # per-group flat row offsets into the (W*n, 16) tables; padding
+        # per-group window INDICES into the (W, n, 32) tables; padding
         # windows have all-zero digits (S_w = 0 for ANY points) — clip
         wbase = jnp.clip(jnp.arange(n_groups * group, dtype=jnp.int32),
-                         0, W - 1) * n
+                         0, W - 1)
         wbase = wbase.reshape(n_groups, group)
         sums = jax.lax.map(
             lambda args: _window_sums(px, py, args[0], c, n,

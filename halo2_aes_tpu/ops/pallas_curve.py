@@ -10,7 +10,10 @@ identity/equal/negative select logic at all — the dataflow IS the
 group law.
 
 Same algorithm as ops/curve.py add() (kept in lockstep; tests compare
-the two).  Field elements are limb-major (16, BLK) u32 planes.
+the two).  Field elements are SUBLANE-PACKED (LIMBS*8, B/8) u32 planes
+(limb i = rows [8i, 8i+8)); the multiplies run the 13-bit delayed-carry
+CIOS from pallas_field (see its module docstring for the layout and
+radix rationale), while the add/sub carry chains stay 16-bit.
 """
 
 from __future__ import annotations
@@ -24,9 +27,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from halo2_aes_tpu.ops import field as F
+from halo2_aes_tpu.ops.pallas_field import (
+    LIMBS,
+    MASK,
+    SUB,
+    mont_mul_rows,
+    n0inv13,
+    p13_limbs,
+    packed_spec,
+    _rows_of,
+)
 
-LIMBS = F.LIMBS
-MASK = 0xFFFF
 BLK = 1024
 
 _ENABLED = False
@@ -38,143 +49,120 @@ def set_enabled(on: bool) -> None:
     _ENABLED = bool(on)
 
 
-# ---- in-kernel field helpers on (16, B) planes ----------------------------
+# ---- in-kernel field helpers on lists of (8, B) 16-bit rows ---------------
 
-def _p_mul(a, b, p_ref, n0):
-    acc = [jnp.zeros((1, a.shape[1]), jnp.uint32) for _ in range(2 * LIMBS + 1)]
-    for i in range(LIMBS):
-        ai = a[i : i + 1]
-        for j in range(LIMBS):
-            t = ai * b[j : j + 1]
-            acc[i + j] += t & MASK
-            acc[i + j + 1] += t >> 16
-        m = (acc[i] * n0) & MASK
-        for j in range(LIMBS):
-            q = m * p_ref[j, 0]
-            acc[i + j] += q & MASK
-            acc[i + j + 1] += q >> 16
-        acc[i + 1] += acc[i] >> 16
-    limbs = []
-    carry = jnp.zeros_like(acc[0])
-    for i in range(LIMBS, 2 * LIMBS + 1):
-        v = acc[i] + carry
-        if len(limbs) < LIMBS:
-            limbs.append(v & MASK)
-        carry = v >> 16
-    return _cond_sub_p(limbs, p_ref)
+def _p16_limbs(modulus: int):
+    return [(modulus >> (16 * i)) & MASK for i in range(LIMBS)]
 
 
-def _cond_sub_p(limbs, p_ref):
+def _cond_sub_p(limbs, p16):
     borrow = jnp.zeros_like(limbs[0])
     diff = []
     for i in range(LIMBS):
-        v = limbs[i] + (1 << 16) - p_ref[i, 0] - borrow
+        v = limbs[i] + (1 << 16) - p16[i] - borrow
         diff.append(v & MASK)
         borrow = 1 - (v >> 16)
     ge = borrow == 0
-    return jnp.concatenate(
-        [jnp.where(ge, d, l) for d, l in zip(diff, limbs)], axis=0
-    )
+    return [jnp.where(ge, d, l) for d, l in zip(diff, limbs)]
 
 
-def _p_add(a, b, p_ref):
-    carry = jnp.zeros((1, a.shape[1]), jnp.uint32)
+def _p_add(a, b, p16):
+    carry = jnp.zeros_like(a[0])
     s = []
     for i in range(LIMBS):
-        v = a[i : i + 1] + b[i : i + 1] + carry
+        v = a[i] + b[i] + carry
         s.append(v & MASK)
         carry = v >> 16
-    return _cond_sub_p(s, p_ref)
+    return _cond_sub_p(s, p16)
 
 
-def _p_sub(a, b, p_ref):
-    borrow = jnp.zeros((1, a.shape[1]), jnp.uint32)
+def _p_sub(a, b, p16):
+    borrow = jnp.zeros_like(a[0])
     d = []
     for i in range(LIMBS):
-        v = a[i : i + 1] + (1 << 16) - b[i : i + 1] - borrow
+        v = a[i] + (1 << 16) - b[i] - borrow
         d.append(v & MASK)
         borrow = 1 - (v >> 16)
     # if borrowed, add p back
     carry = jnp.zeros_like(borrow)
     dp = []
     for i in range(LIMBS):
-        v = d[i] + p_ref[i, 0] + carry
+        v = d[i] + p16[i] + carry
         dp.append(v & MASK)
         carry = v >> 16
     under = borrow == 1
-    return jnp.concatenate(
-        [jnp.where(under, x, y) for x, y in zip(dp, d)], axis=0
-    )
+    return [jnp.where(under, x, y) for x, y in zip(dp, d)]
 
 
 # ---- the RCB complete adder ------------------------------------------------
 
-def _kernel(p_ref, n0_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
-            x3_ref, y3_ref, z3_ref):
-    n0 = n0_ref[0, 0]
-    X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
-    X2, Y2, Z2 = x2_ref[:], y2_ref[:], z2_ref[:]
+def _make_kernel(p16, p13, n0):
+    def _kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
+                x3_ref, y3_ref, z3_ref):
+        X1, Y1, Z1 = _rows_of(x1_ref), _rows_of(y1_ref), _rows_of(z1_ref)
+        X2, Y2, Z2 = _rows_of(x2_ref), _rows_of(y2_ref), _rows_of(z2_ref)
 
-    def mul(a, b):
-        return _p_mul(a, b, p_ref, n0)
+        def mul(a, b):
+            return mont_mul_rows(a, b, p13, n0)
 
-    def add(a, b):
-        return _p_add(a, b, p_ref)
+        def add(a, b):
+            return _p_add(a, b, p16)
 
-    def sub(a, b):
-        return _p_sub(a, b, p_ref)
+        def sub(a, b):
+            return _p_sub(a, b, p16)
 
-    def mul_b3(a):  # 9a = 8a + a
-        a2 = add(a, a)
-        a4 = add(a2, a2)
-        return add(add(a4, a4), a)
+        def mul_b3(a):  # 9a = 8a + a
+            a2 = add(a, a)
+            a4 = add(a2, a2)
+            return add(add(a4, a4), a)
 
-    t0 = mul(X1, X2)
-    t1 = mul(Y1, Y2)
-    t2 = mul(Z1, Z2)
-    A = mul(add(X1, Y1), add(X2, Y2))
-    B = mul(add(Y1, Z1), add(Y2, Z2))
-    C = mul(add(X1, Z1), add(X2, Z2))
-    t3 = sub(sub(A, t0), t1)
-    t4 = sub(sub(B, t1), t2)
-    xz = sub(sub(C, t0), t2)
-    t0_3 = add(add(t0, t0), t0)
-    t2_b = mul_b3(t2)
-    z3t = add(t1, t2_b)
-    t1m = sub(t1, t2_b)
-    y3b = mul_b3(xz)
+        t0 = mul(X1, X2)
+        t1 = mul(Y1, Y2)
+        t2 = mul(Z1, Z2)
+        A = mul(add(X1, Y1), add(X2, Y2))
+        B = mul(add(Y1, Z1), add(Y2, Z2))
+        C = mul(add(X1, Z1), add(X2, Z2))
+        t3 = sub(sub(A, t0), t1)
+        t4 = sub(sub(B, t1), t2)
+        xz = sub(sub(C, t0), t2)
+        t0_3 = add(add(t0, t0), t0)
+        t2_b = mul_b3(t2)
+        z3t = add(t1, t2_b)
+        t1m = sub(t1, t2_b)
+        y3b = mul_b3(xz)
 
-    X3 = sub(mul(t3, t1m), mul(t4, y3b))
-    Y3 = add(mul(t1m, z3t), mul(y3b, t0_3))
-    Z3 = add(mul(z3t, t4), mul(t0_3, t3))
+        X3 = sub(mul(t3, t1m), mul(t4, y3b))
+        Y3 = add(mul(t1m, z3t), mul(y3b, t0_3))
+        Z3 = add(mul(z3t, t4), mul(t0_3, t3))
 
-    x3_ref[:] = X3
-    y3_ref[:] = Y3
-    z3_ref[:] = Z3
+        x3_ref[:] = jnp.concatenate(X3, axis=0)
+        y3_ref[:] = jnp.concatenate(Y3, axis=0)
+        z3_ref[:] = jnp.concatenate(Z3, axis=0)
+
+    return _kernel
 
 
 @functools.lru_cache(maxsize=None)
 def _fn(cols: int):
     q = F.FQ
-    p_limbs = np.asarray(F.int_to_limbs(q.modulus), np.uint32).reshape(LIMBS, 1)
-    n0 = np.array([[q.n0inv]], np.uint32)
-    plane = lambda: pl.BlockSpec((LIMBS, BLK), lambda i: (0, i),  # noqa: E731
-                                 memory_space=pltpu.VMEM)
+    p16 = tuple(_p16_limbs(q.modulus))
+    p13 = tuple(p13_limbs(q.modulus))
+    n0 = n0inv13(q.modulus)
+    c8 = cols // SUB
 
     @jax.jit
     def run(*coords):
-        return pl.pallas_call(
-            _kernel,
+        outs = pl.pallas_call(
+            _make_kernel(p16, p13, n0),
             grid=(cols // BLK,),
-            in_specs=[
-                pl.BlockSpec((LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            ] + [plane() for _ in range(6)],
-            out_specs=tuple(plane() for _ in range(3)),
+            in_specs=[packed_spec(BLK) for _ in range(6)],
+            out_specs=tuple(packed_spec(BLK) for _ in range(3)),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((LIMBS, cols), jnp.uint32) for _ in range(3)
+                jax.ShapeDtypeStruct((LIMBS * SUB, c8), jnp.uint32)
+                for _ in range(3)
             ),
-        )(jnp.asarray(p_limbs), jnp.asarray(n0), *coords)
+        )(*(c.reshape(LIMBS * SUB, c8) for c in coords))
+        return tuple(o.reshape(LIMBS, cols) for o in outs)
 
     return run
 

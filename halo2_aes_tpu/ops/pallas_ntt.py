@@ -212,32 +212,25 @@ def _sub_mod(a, b, p):
     return [jnp.where(neg, x, y) for x, y in zip(dp, d)]
 
 
-def _mont_mul_planes(a, b, p, n0):
-    """CIOS 16x16 lattice over plane lists (same math as
-    pallas_field._kernel, operands as LIMBS separate (R, T) planes)."""
+def _mont_mul_planes(a, b, modulus: int):
+    """Montgomery multiply over plane lists: the 13-bit delayed-carry
+    CIOS from pallas_field (shape-agnostic; broadcasting twiddle (1, T)
+    planes against (R, T) data planes works through jnp)."""
+    from halo2_aes_tpu.ops.pallas_field import (mont_mul_rows, n0inv13,
+                                                p13_limbs)
+
     shape = jnp.broadcast_shapes(a[0].shape, b[0].shape)
-    acc = [jnp.zeros(shape, jnp.uint32) for _ in range(2 * LIMBS + 1)]
-    for i in range(LIMBS):
-        ai = a[i]
-        for j in range(LIMBS):
-            t = ai * b[j]
-            acc[i + j] += t & MASK
-            acc[i + j + 1] += t >> 16
-        m = (acc[i] * n0) & MASK
-        for j in range(LIMBS):
-            q = m * p[j]
-            acc[i + j] += q & MASK
-            acc[i + j + 1] += q >> 16
-        acc[i + 1] += acc[i] >> 16
-    limbs = _carry_chain(acc[LIMBS : 2 * LIMBS + 1])[:LIMBS]
-    return _cond_sub_p(limbs, p)
+    if a[0].shape != shape:
+        a = [jnp.broadcast_to(x, shape) for x in a]
+    return mont_mul_rows(a, b, tuple(p13_limbs(modulus)), n0inv13(modulus))
 
 
-def _stages(lt: int, p, n0, get_tw, x):
+def _stages(lt: int, modulus: int, get_tw, x):
     """All lt DIF stages over plane lists; shared by the Mosaic kernel
     and the eager CPU-test path (XLA CPU takes tens of minutes to
     compile the unrolled lattice, so tests must not jit it)."""
     T = 1 << lt
+    p = [(modulus >> (16 * i)) & MASK for i in range(LIMBS)]
     R = x[0].shape[0]
     iota = jax.lax.broadcasted_iota(jnp.uint32, (R, T), 1)
     for s in range(lt):
@@ -249,17 +242,15 @@ def _stages(lt: int, p, n0, get_tw, x):
         sub_l = _sub_mod(lft, x, p)
         tmp = [jnp.where(is_lo, u, v) for u, v in zip(add_l, sub_l)]
         tw = [get_tw(s, i) for i in range(LIMBS)]       # (1, T) planes
-        x = _mont_mul_planes(tmp, tw, p, n0)
+        x = _mont_mul_planes(tmp, tw, modulus)
     return x
 
 
-def _make_kernel(lt: int):
-    def kernel(p_ref, n0_ref, tw_ref, x_ref, o_ref):
-        n0 = n0_ref[0, 0]
-        p = [p_ref[i, 0] for i in range(LIMBS)]
+def _make_kernel(lt: int, modulus: int):
+    def kernel(tw_ref, x_ref, o_ref):
         x = [x_ref[i] for i in range(LIMBS)]            # (R, T) planes
         get_tw = lambda s, i: tw_ref[s * LIMBS + i : s * LIMBS + i + 1, :]
-        x = _stages(lt, p, n0, get_tw, x)
+        x = _stages(lt, modulus, get_tw, x)
         for i in range(LIMBS):
             o_ref[i] = x[i]
 
@@ -268,19 +259,16 @@ def _make_kernel(lt: int):
 
 def _pass_eager(spec: F.FieldSpec, lt: int, tw: np.ndarray, x):
     """Eager (unjitted) reference path for CPU tests."""
-    p = [int(v) for v in F.int_to_limbs(spec.modulus)]
     get_tw = lambda s, i: jnp.asarray(tw[s * LIMBS + i][None, :])
     planes = [x[i] for i in range(LIMBS)]
-    out = _stages(lt, p, spec.n0inv, get_tw, planes)
+    out = _stages(lt, spec.modulus, get_tw, planes)
     return jnp.stack(out)
 
 
 @functools.lru_cache(maxsize=None)
 def _pass_fn(modulus: int, n0inv: int, lt: int, r: int, interpret: bool):
     T = 1 << lt
-    kernel = _make_kernel(lt)
-    p_limbs = np.asarray(F.int_to_limbs(modulus), np.uint32).reshape(LIMBS, 1)
-    n0 = np.array([[n0inv]], np.uint32)
+    kernel = _make_kernel(lt, modulus)
 
     def run(tw, x):                                     # x (LIMBS, rows, T)
         rows = x.shape[1]
@@ -288,10 +276,6 @@ def _pass_fn(modulus: int, n0inv: int, lt: int, r: int, interpret: bool):
             kernel,
             grid=(rows // r,),
             in_specs=[
-                pl.BlockSpec((LIMBS, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((lt * LIMBS, T), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((LIMBS, r, T), lambda i: (0, i, 0),
@@ -301,7 +285,7 @@ def _pass_fn(modulus: int, n0inv: int, lt: int, r: int, interpret: bool):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((LIMBS, rows, T), jnp.uint32),
             interpret=interpret,
-        )(jnp.asarray(p_limbs), jnp.asarray(n0), tw, x)
+        )(tw, x)
 
     # interpret mode (CPU tests) runs the kernel eagerly: XLA CPU takes
     # minutes to compile the unrolled lattice, eager takes seconds

@@ -47,15 +47,22 @@ def main():
     print(f"k={k} c={c} windows={-(-M.SCALAR_BITS // c)}", flush=True)
 
     t0 = time.time()
-    tables = M.build_tables((px, py), c)
-    tables = (jax.block_until_ready(tables[0]), jax.block_until_ready(tables[1]))
+    tables = jax.block_until_ready(M.build_tables((px, py), c))
     print(f"build_tables: {time.time()-t0:.1f}s", flush=True)
 
+    def _sync(out):
+        # block_until_ready is unreliable over the axon tunnel; force a
+        # tiny transfer instead (waits on the whole computation)
+        leaves = jax.tree_util.tree_leaves(out)
+        for lf in leaves:
+            np.asarray(lf[tuple(0 for _ in lf.shape)])
+        return out
+
     def timed(name, fn, *a, **kw):
-        out = jax.block_until_ready(fn(*a, **kw))  # compile+run
+        out = _sync(fn(*a, **kw))  # compile+run
         t0 = time.time()
         for _ in range(reps):
-            out = jax.block_until_ready(fn(*a, **kw))
+            out = _sync(fn(*a, **kw))
         print(f"{name}: {(time.time()-t0)/reps*1000:.1f} ms", flush=True)
         return out
 
@@ -77,15 +84,14 @@ def main():
     keys = timed(f"sort ({W}, 2^{k})", sort_all, digs)
 
     @jax.jit
-    def gather_all(keys):
+    def gather_all(keys, txy):
         order = (keys & jnp.uint32(n_pad - 1)).astype(jnp.int32)
         tbase = (jnp.arange(W, dtype=jnp.int32) * n)[:, None]
         flat_idx = (tbase + order).reshape(-1)
-        sx = jnp.take(tables[0], flat_idx, axis=0)
-        sy = jnp.take(tables[1], flat_idx, axis=0)
-        return sx, sy
+        g = jnp.take(txy, flat_idx, axis=0)
+        return g[:, :16], g[:, 16:]
 
-    sx, sy = timed("gather", gather_all, keys)
+    sx, sy = timed("gather", gather_all, keys, tables)
 
     one = jnp.asarray(CV.FQ.one_mont)
     sz = jnp.broadcast_to(one, sx.shape)
@@ -94,8 +100,7 @@ def main():
     def upsweep(sx, sy, sz):
         cur = (sx, sy, sz)
         m = sx.shape[0]
-        roots = []
-        while m > 1:
+        while m > 1 and m % 2 == 0:   # stop at the odd W remainder
             cur = CV.add(tuple(t[0::2] for t in cur),
                          tuple(t[1::2] for t in cur))
             m //= 2
@@ -110,6 +115,28 @@ def main():
                       (sx[1::2], sy[1::2], sz[1::2]))
 
     timed(f"level0 ({W * n} rows)", one_level, sx, sy, sz)
+
+    # contiguous-halves fold (bit-reversed tree layout): reshape
+    # (G, m, 16) + half slices instead of stride-2 rows
+    @jax.jit
+    def upsweep_halves(sx, sy, sz):
+        cur = (sx, sy, sz)
+        m = n
+        G = W
+        while m > 1:
+            half = m // 2
+
+            def _split(t):
+                t3 = t.reshape(G, m, 16)
+                return (t3[:, :half].reshape(G * half, 16),
+                        t3[:, half:].reshape(G * half, 16))
+
+            lo, hi = zip(*(_split(t) for t in cur))
+            cur = CV.add(tuple(lo), tuple(hi))
+            m = half
+        return cur
+
+    timed(f"upsweep_halves ({W * n} rows)", upsweep_halves, sx, sy, sz)
 
     # raw fused adder at the same width (no strided slicing)
     half = (W * n) // 2
