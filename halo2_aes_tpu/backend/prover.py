@@ -639,15 +639,28 @@ def _get_phases(pk: ProvingKey, mesh=None, mesh_axis: str = "dp") -> _Phases:
     return cache[key]
 
 
+def _commit_pts_list(ph, polys):
+    """Commit a list of (n, 16) coefficient polys; returns affine
+    points (no transcript side effects — the caller absorbs, so
+    checkpoint resume can replay absorbs from saved points).
+
+    All MSMs are dispatched before ANY result is read back, and the
+    projective results come home in ONE stacked transfer: per-point
+    np.asarray syncs serialized the device with tunnel-latency gaps
+    between commitments."""
+    jacs = [ph.commit(p) for p in polys]                 # all async
+    if not jacs:
+        return []
+    stacked = tuple(jnp.stack([j[i] for j in jacs]) for i in range(3))
+    return CV.to_affine_host(stacked)
+
+
 def _commit_pts(ph, flat, count):
-    """Commit ``count`` size-n polys from a FLAT (count*n, 16) tensor;
-    returns affine points (no transcript side effects — the caller
-    absorbs, so checkpoint resume can replay absorbs from saved
-    points)."""
+    """Commit ``count`` size-n polys from a FLAT (count*n, 16) tensor."""
     n = ph.n
-    jacs = [ph.commit(jnp.asarray(flat)[i * n : (i + 1) * n])
-            for i in range(count)]
-    return [CV.to_affine_host(jac)[0] for jac in jacs]
+    flat = jnp.asarray(flat)
+    return _commit_pts_list(
+        ph, [flat[i * n : (i + 1) * n] for i in range(count)])
 
 
 def _commit_write(tr, ph, coeffs):
@@ -782,10 +795,11 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             bl_s = _rand_field(rng, ph.n_lk, n - usable)
             lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = ph.lookup_phase(
                 jnp.asarray(values_u32), all_fld, theta_m, bl_a, bl_s)
-            lk_pts = []
-            for i in range(ph.n_lk):
-                lk_pts += _commit_pts(ph, lk_a_coeffs[i * n : (i + 1) * n], 1)
-                lk_pts += _commit_pts(ph, lk_s_coeffs[i * n : (i + 1) * n], 1)
+            polys = []
+            for i in range(ph.n_lk):       # transcript order: a'_i, s'_i
+                polys.append(lk_a_coeffs[i * n : (i + 1) * n])
+                polys.append(lk_s_coeffs[i * n : (i + 1) * n])
+            lk_pts = _commit_pts_list(ph, polys)
         else:
             z = jnp.zeros((0, F.LIMBS), jnp.uint32)
             lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
