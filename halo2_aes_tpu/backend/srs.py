@@ -51,13 +51,16 @@ class SRS:
     def identity_tag(self) -> str:
         """Short identity of this concrete SRS (hash of a few G1 powers
         + the G2 side) — distinguishes same-k SRS instances with
-        different tau (see keygen.srs_identity)."""
-        h = hashlib.blake2b(digest_size=8)
-        take = min(4, int(self.g1_x.shape[0]))
-        h.update(np.ascontiguousarray(np.asarray(self.g1_x[:take])).tobytes())
-        h.update(np.ascontiguousarray(np.asarray(self.g1_y[:take])).tobytes())
-        h.update(repr(self.s_g2).encode())
-        return h.hexdigest()
+        different tau (see keygen.srs_identity).  Cached after the first
+        call; setup() precomputes it from the host arrays so the tag
+        never forces an early device sync (the first device read after
+        an idle tunnel costs ~55 s of pool-grant warmup)."""
+        tag = getattr(self, "_tag", None)
+        if tag is None:
+            tag = _tag_from_host(np.asarray(self.g1_x[:4]),
+                                 np.asarray(self.g1_y[:4]), self.s_g2)
+            object.__setattr__(self, "_tag", tag)
+        return tag
 
     def commit(self, coeffs_mont):
         """Commit a coefficient-form poly ((m, 16) Montgomery, m <= n).
@@ -99,6 +102,14 @@ class SRS:
         if path is not None:
             np.savez(path, txy=txy)
         return jnp.asarray(txy)
+
+
+def _tag_from_host(gx_head: np.ndarray, gy_head: np.ndarray, s_g2) -> str:
+    h = hashlib.blake2b(digest_size=8)
+    h.update(np.ascontiguousarray(gx_head[:4]).tobytes())
+    h.update(np.ascontiguousarray(gy_head[:4]).tobytes())
+    h.update(repr(s_g2).encode())
+    return h.hexdigest()
 
 
 def _host_window_tables(c: int = _WINDOW):
@@ -190,8 +201,12 @@ def setup(k: int, seed: bytes = b"halo2_aes_tpu dev srs",
         path = os.path.join(cache_dir, f"kzg_bn254_{k}_{tag}.npz")
         if os.path.exists(path):
             z = np.load(path)
-            return SRS(k, jnp.asarray(z["g1_x"]), jnp.asarray(z["g1_y"]),
-                       PR.G2, PR.g2_mul(PR.G2, tau), cache_dir=cache_dir)
+            s_g2 = PR.g2_mul(PR.G2, tau)
+            srs = SRS(k, jnp.asarray(z["g1_x"]), jnp.asarray(z["g1_y"]),
+                      PR.G2, s_g2, cache_dir=cache_dir)
+            object.__setattr__(
+                srs, "_tag", _tag_from_host(z["g1_x"], z["g1_y"], s_g2))
+            return srs
     g1_x, g1_y = _gen_g1_powers(k, tau)
     srs = SRS(k, g1_x, g1_y, PR.G2, PR.g2_mul(PR.G2, tau),
               cache_dir=cache_dir)

@@ -48,6 +48,57 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None,
     BDFG20) or "gwc" (plonk-style per-point witnesses) — the two
     KZG backends behind the facade (role of the reference's
     compile-time backend switch, src/lib.rs:10-13)."""
+    pairs = verify_pairs(vk, proof, instances, multiopen)
+    if not PR.pairing_product_is_one(pairs):
+        raise VerifyError("pairing check failed")
+    return True
+
+
+def verify_batch(vk: VerifyingKey, proofs, instances=None,
+                 multiopen: str = "shplonk") -> bool:
+    """Verify many proofs with ONE pairing-product check.
+
+    Each proof's final check has the shape e(A_i, H1) e(B_i, H2) = 1
+    with the same (H1, H2) G2 points for every proof, so a random
+    linear combination sum r_i A_i / sum r_i B_i (128-bit r_i, r_0=1)
+    collapses N proofs into one 2-pairing check plus a size-2N host
+    MSM — the serving-side fast path for proof BUNDLES (e.g. the
+    multi-proof AES-CTR driver).  Soundness error <= 2^-128 per forged
+    proof.  All transcript replays still run per proof; only the
+    pairings are shared.  Raises VerifyError naming the first failing
+    transcript; a combined-check failure raises without attribution
+    (re-run verify() per proof to isolate)."""
+    import secrets
+
+    if instances is None:
+        instances = [None] * len(proofs)
+    assert len(instances) == len(proofs)
+    if not proofs:
+        return True
+    pts_a, pts_b, scs = [], [], []
+    g2_a = g2_b = None
+    for i, (proof, inst) in enumerate(zip(proofs, instances)):
+        try:
+            (a, ga), (b, gb) = verify_pairs(vk, proof, inst, multiopen)
+        except VerifyError as e:
+            raise VerifyError(f"proof {i}: {e}") from e
+        g2_a, g2_b = ga, gb
+        r = 1 if i == 0 else (secrets.randbits(128) | 1)
+        pts_a.append(a)
+        pts_b.append(b)
+        scs.append(r)
+    lhs = CV.host_msm(pts_a, scs)
+    rhs = CV.host_msm(pts_b, scs)
+    if not PR.pairing_product_is_one([(lhs, g2_a), (rhs, g2_b)]):
+        raise VerifyError("batched pairing check failed")
+    return True
+
+
+def verify_pairs(vk: VerifyingKey, proof: bytes, instances=None,
+                 multiopen: str = "shplonk"):
+    """Transcript replay + all scalar checks; returns the two
+    (G1, G2) pairs whose pairing product must be one (deferred so
+    verify_batch can fold many proofs into a single product)."""
     cs = vk.cs
     k, usable = vk.k, vk.usable
     n = 1 << k
@@ -176,7 +227,7 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None,
     evals[(("h",), 0)] = acc * pow(zh_x, -1, R) % R
 
     if multiopen == "gwc":
-        return _verify_gwc(vk, tr, plan, comms, evals, rot_point)
+        return _gwc_pairs(vk, tr, plan, comms, evals, rot_point)
     assert multiopen == "shplonk", multiopen
 
     # ---- SHPLONK check --------------------------------------------------------
@@ -216,12 +267,10 @@ def verify(vk: VerifyingKey, proof: bytes, instances=None,
     msm_scs += [-const_corr % R, u]
     lhs = CV.host_msm(msm_pts, msm_scs)
     neg_wq = None if w_q is None else (w_q[0], -w_q[1] % PR.Q)
-    if not PR.pairing_product_is_one([(lhs, vk.g2), (neg_wq, vk.s_g2)]):
-        raise VerifyError("pairing check failed")
-    return True
+    return [(lhs, vk.g2), (neg_wq, vk.s_g2)]
 
 
-def _verify_gwc(vk, tr, plan, comms, evals, rot_point):
+def _gwc_pairs(vk, tr, plan, comms, evals, rot_point):
     """GWC batch-opening check: per rotation point z_i the prover sent
     W_i = [(F_i - F_i(z_i))/(X - z_i)]; the verifier checks
 
@@ -265,6 +314,4 @@ def _verify_gwc(vk, tr, plan, comms, evals, rot_point):
     lhs = CV.host_msm(lhs_pts, lhs_scs)
     rhs = CV.host_msm(rhs_pts, rhs_scs)
     neg_rhs = None if rhs is None else (rhs[0], -rhs[1] % PR.Q)
-    if not PR.pairing_product_is_one([(lhs, vk.s_g2), (neg_rhs, vk.g2)]):
-        raise VerifyError("pairing check failed")
-    return True
+    return [(lhs, vk.s_g2), (neg_rhs, vk.g2)]

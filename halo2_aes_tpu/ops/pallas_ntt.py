@@ -48,9 +48,11 @@ _ENABLED = False
 _INTERPRET = False  # CPU tests flip this to run kernels in interpret mode
 
 # One Pallas invocation processes (LIMBS, R, T); R*T lanes*sublanes per
-# grid step.  2^15 elements balances VMEM (~10 MB with the accumulator
-# lattice) against launch count.
-_BLOCK_ELEMS = 1 << 15
+# grid step.  2^14 elements keeps the ~8 live plane-sets of the
+# unrolled butterfly+CIOS lattice (in, rolled pair, add, sub, select,
+# twiddle product partials) under the 16 MB scoped-VMEM limit — 2^15
+# measured 16.2 MB on v5e and failed Mosaic compile.
+_BLOCK_ELEMS = 1 << 14
 _MIN_K = 15          # below this the XLA path is fine (tiny transforms)
 _MAX_LANES = 2048    # largest single-pass transform length
 
@@ -165,7 +167,9 @@ def _out_perm_batch(k: int, k1: int, count: int) -> np.ndarray:
 def _roll(x, shift: int):
     if _INTERPRET:
         return jnp.roll(x, shift, axis=1)
-    return pltpu.roll(x, shift, 1)
+    # pltpu.roll requires a non-negative shift; cyclic roll by -h on an
+    # axis of length T is the same as roll by T - h
+    return pltpu.roll(x, shift % x.shape[1], 1)
 
 
 def _carry_chain(vals):

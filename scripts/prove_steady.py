@@ -63,6 +63,10 @@ def main():
     dt = time.perf_counter() - t0
     print(f"prove#2 (warm) {dt:.1f}s = {blocks/dt:.3f} blocks/s", flush=True)
     t0 = time.perf_counter()
+    proof = prove(pk, values, seed=3)
+    dt = time.perf_counter() - t0
+    print(f"prove#3 (steady) {dt:.1f}s = {blocks/dt:.3f} blocks/s", flush=True)
+    t0 = time.perf_counter()
     verify(pk.vk, proof)
     print(f"verify {time.perf_counter()-t0:.2f}s ok", flush=True)
 
