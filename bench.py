@@ -33,7 +33,10 @@ import time
 ESTIMATED_RUST_BLOCKS_PER_SEC = 15.0
 
 
-def bench_prove(k: int = 17, blocks: int = 64, sets: int = 1) -> dict:
+def bench_prove(k: int = 17, blocks: int = 96, sets: int = 1) -> dict:
+    # 96 blocks = FULL k=17/n_sets=1 capacity: prover cost is
+    # domain-size-bound, so throughput is measured with the circuit full
+    # (the reference driver likewise fills its circuit, src/main.rs:25)
     from halo2_aes_tpu.ops import field
 
     field.set_compact_graphs(True)

@@ -152,30 +152,34 @@ def _points_from_scalars(scalars_plain):
     limbs = jnp.asarray(F.ints_to_limbs_fast([int(s) for s in scalars_plain]))
     tables = jnp.asarray(_host_window_tables())
     digs = MSM.digit_matrix(limbs, _WINDOW)            # (nwin, n)
+    return _combine_windows(digs, tables)
+
+
+@jax.jit
+def _combine_windows(digs, tables):
+    """Window-table sum: module-level jit so repeat same-shape calls
+    (SRS setup + the .srs writer's Lagrange table in one process) share
+    ONE compile — a per-call inner jit recompiled the identical graph
+    each time (~40 s per extra call on the CPU host)."""
     one = jnp.asarray(FQ.one_mont)
-
-    @jax.jit
-    def combine(digs, tables):
-        # gather per-window points; digit-0 rows become the projective
-        # identity class (0 : 1 : 0) — X masked to 0, Y to 1, Z to 0
-        xs = []
-        ys = []
-        zs = []
-        for w in range(_NWIN):
-            pt = jnp.take(tables[w], digs[w], axis=0)   # (n, 2, 16)
-            nz = (digs[w] != 0)[:, None]
-            xs.append(jnp.where(nz, pt[:, 0], jnp.uint32(0)))
-            ys.append(jnp.where(nz, pt[:, 1], one[None, :]))
-            zs.append(jnp.where(nz, one[None, :], jnp.uint32(0)))
-        pts = (jnp.stack(xs), jnp.stack(ys), jnp.stack(zs))  # (nwin, n, 16)
-        proj = MSM._tree_add(pts)
-        # projective -> affine (tau^i != 0 so no identities)
-        zinv = F.batch_inv(FQ, proj[2])
-        ax = F.mul(FQ, proj[0], zinv)
-        ay = F.mul(FQ, proj[1], zinv)
-        return ax, ay
-
-    return combine(digs, tables)
+    # gather per-window points; digit-0 rows become the projective
+    # identity class (0 : 1 : 0) — X masked to 0, Y to 1, Z to 0
+    xs = []
+    ys = []
+    zs = []
+    for w in range(_NWIN):
+        pt = jnp.take(tables[w], digs[w], axis=0)   # (n, 2, 16)
+        nz = (digs[w] != 0)[:, None]
+        xs.append(jnp.where(nz, pt[:, 0], jnp.uint32(0)))
+        ys.append(jnp.where(nz, pt[:, 1], one[None, :]))
+        zs.append(jnp.where(nz, one[None, :], jnp.uint32(0)))
+    pts = (jnp.stack(xs), jnp.stack(ys), jnp.stack(zs))  # (nwin, n, 16)
+    proj = MSM._tree_add(pts)
+    # projective -> affine (tau^i != 0 so no identities)
+    zinv = F.batch_inv(FQ, proj[2])
+    ax = F.mul(FQ, proj[0], zinv)
+    ay = F.mul(FQ, proj[1], zinv)
+    return ax, ay
 
 
 def _gen_g1_powers(k: int, tau: int):

@@ -255,13 +255,16 @@ def mont_mul(spec: F.FieldSpec, a, b):
     return out
 
 
-def enable_in_field_ops(ntt: bool = False) -> None:
+def enable_in_field_ops(ntt: bool = True) -> None:
     """Route field.mont_mul's large multiplies and curve.add's large
-    batches through the Pallas kernels.  ``ntt=True`` additionally
-    routes the grouped batched transforms (ops/ntt.ntt_many) through
-    the fused four-step Pallas NTT — more Mosaic call sites, so longer
-    cold compiles (see memory/tpu-pallas-compile-rules); enable for
-    steady-state serving."""
+    batches through the Pallas kernels.  ``ntt=True`` (default)
+    additionally routes the grouped batched transforms
+    (ops/ntt.ntt_many) through the fused four-step Pallas NTT — 19x
+    the XLA path at the quotient's batch size (227 ms vs 4.3 s for
+    25 size-2^17 transforms, v5e) and the single biggest prove-phase
+    win.  The extra Mosaic call sites lengthen the FIRST cold compile
+    only (persistent compile cache covers repeats); pass ntt=False to
+    trade steady-state speed for a leaner one-shot cold start."""
     from halo2_aes_tpu.ops import pallas_curve
 
     set_enabled(True)

@@ -19,7 +19,7 @@ import numpy as np
 
 def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
         srs_cache: str | None = "ptau", expose_ciphertext: bool = False,
-        use_pallas: bool = False, decrypt: bool = False,
+        use_pallas: bool = True, decrypt: bool = False,
         checkpoint_dir: str | None = None) -> dict:
     import jax
 
@@ -28,9 +28,11 @@ def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
     # XLA compile passes run on the (single-core) host even for the TPU
     # backend; compact limb kernels keep prover compiles tractable.
     field.set_compact_graphs(True)
-    # Pallas kernels give ~2-10x steady-state throughput but add long
-    # one-time remote Mosaic compiles; default off for one-shot proves
-    # (scripts/prove_steady.py turns them on for warm benchmarking).
+    # Pallas kernels (Montgomery mul, curve adds, fused four-step NTT)
+    # are the steady-state fast path (warm k=17 prove 10 s vs 27 s);
+    # their one-time Mosaic compiles land in the persistent compile
+    # cache, so they default ON for the TPU backend (--no-pallas for a
+    # leaner first-ever cold start).
     from halo2_aes_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     if use_pallas and jax.default_backend() != "cpu":
@@ -126,7 +128,10 @@ def main():
                     help="expose the public bytes as an instance column "
                          "(ciphertext when encrypting, recovered plaintext "
                          "with --decrypt)")
-    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="Pallas fast path (default on; --no-pallas "
+                         "skips the one-time Mosaic compiles)")
     ap.add_argument("--decrypt", action="store_true",
                     help="prove AES-128 DECRYPTION (models/aes128_dec.py)")
     ap.add_argument("--checkpoint-dir", default=None,

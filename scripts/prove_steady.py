@@ -1,10 +1,10 @@
 """Steady-state AES prove timing: compile-warm pipeline, then timed proves.
 
-Usage: python scripts/prove_steady.py [k] [blocks] [sets] [--pallas-ntt]
+Usage: python scripts/prove_steady.py [k] [blocks] [sets] [--no-pallas-ntt]
 
---pallas-ntt additionally routes the batched transforms through the
-fused four-step Pallas NTT (more Mosaic cold compiles, faster steady
-state — see ops/pallas_ntt.py).
+The fused four-step Pallas NTT is on by default (19x the XLA transform
+path at prove batch sizes); --no-pallas-ntt falls back to the XLA NTT
+for A/B comparisons.
 """
 
 import pathlib
@@ -19,7 +19,7 @@ def main():
     k = int(args[0]) if len(args) > 0 else 17
     blocks = int(args[1]) if len(args) > 1 else 4
     sets = int(args[2]) if len(args) > 2 else 1
-    pallas_ntt = "--pallas-ntt" in sys.argv
+    pallas_ntt = "--no-pallas-ntt" not in sys.argv
 
     from halo2_aes_tpu.ops import field
 
