@@ -111,6 +111,7 @@ def keygen_cached(layout: CompiledCircuit, srs: SRS,
     import os
 
     tag = layout_fingerprint(layout)
+    srs.warm_tables()   # build MSM tables before keygen fills HBM
     path = os.path.join(cache_dir, f"pk_{tag}_s{srs.k}_{srs_identity(srs)}.npz")
     def _dump(pts):
         # identity commitments (all-zero columns) serialize as ("", "")

@@ -62,6 +62,17 @@ class SRS:
             object.__setattr__(self, "_tag", tag)
         return tag
 
+    def warm_tables(self) -> None:
+        """Load-or-build the MSM window tables NOW, while device memory
+        is empty.  Building them mid-keygen (first commit) races the
+        keygen coefficient arrays for HBM — at k=20 the combination
+        OOMs; called up front the build temps have the chip to
+        themselves and later commits just reuse the resident table."""
+        if getattr(self, "_msm_tables", None) is None:
+            c = MSM.default_window(self.n)
+            object.__setattr__(self, "_msm_tables",
+                               self._load_or_build_tables(c))
+
     def commit(self, coeffs_mont):
         """Commit a coefficient-form poly ((m, 16) Montgomery, m <= n).
 

@@ -309,14 +309,21 @@ def build_tables(points, c: int):
         cur = (px, py, one)
         # normalize PER WINDOW: one whole-table batch_inv lets XLA pick
         # 8x lane-padded layouts for its scan temps (measured 41 GB at
-        # k=20); per-window the temps are bounded by ~n rows
-        rows = []
+        # k=20); per-window the temps are bounded by ~n rows.
+        # Each window's rows are staged to HOST as built: holding all W
+        # windows on device (plus the final concatenate's copy) peaks at
+        # ~2x the table size (~6 GB at k=20) and OOMs when other state
+        # is resident — the result is disk-cached anyway, and the caller
+        # uploads the finished table once.
+        rows = np.empty((W * px.shape[0], 2 * F.LIMBS), dtype=np.uint32)
+        n = px.shape[0]
         for w in range(W):
             if w:
                 cur = _double_c(cur, c)
             ax, ay = _tables_normalize(*cur)
-            rows.append(jnp.concatenate([ax, ay], axis=1))
-        return jnp.concatenate(rows)                       # (W*n, 32)
+            rows[w * n : (w + 1) * n, : F.LIMBS] = np.asarray(ax)
+            rows[w * n : (w + 1) * n, F.LIMBS :] = np.asarray(ay)
+        return rows                                        # (W*n, 32) np
     finally:
         F.set_pallas(f_flag)
         pallas_curve.set_enabled(c_flag)
