@@ -33,8 +33,28 @@ import time
 ESTIMATED_RUST_BLOCKS_PER_SEC = 15.0
 
 
+def pick_config() -> tuple:
+    """(k, sets, blocks): the largest PROVEN-ON-THIS-HARDWARE config.
+
+    ptau/bench_config.json records the best config a measurement run has
+    actually proven+verified on the attached chip (scripts/prove_steady.py
+    --record-bench-config writes it).  The driver's bench must never
+    gamble on an untested shape: a k=20 HBM OOM through the axon tunnel
+    can wedge the process, not just fail it.  Default: full k=17
+    single-set capacity (96 blocks), the config every round has proven.
+    """
+    try:
+        with open(os.path.join("ptau", "bench_config.json")) as f:
+            cfg = json.load(f)
+        if cfg.get("verified"):
+            return int(cfg["k"]), int(cfg["n_sets"]), int(cfg["n_blocks"])
+    except (OSError, ValueError, KeyError):
+        pass
+    return 17, 1, 96
+
+
 def bench_prove(k: int = 17, blocks: int = 96, sets: int = 1) -> dict:
-    # 96 blocks = FULL k=17/n_sets=1 capacity: prover cost is
+    # blocks = FULL circuit capacity for the config: prover cost is
     # domain-size-bound, so throughput is measured with the circuit full
     # (the reference driver likewise fills its circuit, src/main.rs:25)
     from halo2_aes_tpu.ops import field
@@ -75,15 +95,22 @@ def bench_prove(k: int = 17, blocks: int = 96, sets: int = 1) -> dict:
     dt = time.perf_counter() - t0
     verify(pk.vk, proof)
     bps = blocks / dt
+
+    from halo2_aes_tpu.utils import cost_model
+
+    muls = cost_model.field_muls(layout)
     return {
-        "metric": "aes128_prove_blocks_per_sec_k17_warm",
+        "metric": f"aes128_prove_blocks_per_sec_k{k}_warm",
         "value": round(bps, 3),
         "unit": "blocks/s",
         "vs_baseline": round(bps / ESTIMATED_RUST_BLOCKS_PER_SEC, 2),
         "baseline_is_estimate": True,
         "prove_seconds": round(dt, 2),
         "blocks_per_proof": blocks,
+        "n_sets": sets,
         "proof_bytes": len(proof),
+        "field_muls_per_proof": muls["total"],
+        "field_muls_per_sec": round(muls["total"] / dt),
         "verified": True,
     }
 
@@ -156,7 +183,8 @@ def main():
         out["note"] = "device unreachable; CPU fallback metric"
         print(json.dumps(out))
         return
-    print(json.dumps(bench_prove()))
+    k, sets, blocks = pick_config()
+    print(json.dumps(bench_prove(k=k, blocks=blocks, sets=sets)))
 
 
 if __name__ == "__main__":

@@ -74,7 +74,28 @@ class ProvingKey:
 
 
 def _commit_affine(srs: SRS, coeffs):
+    if srs.n <= 512:
+        # toy circuits (tests, multichip dryrun): host bigint MSM beats
+        # the device path's one-time XLA compile by ~a minute on the
+        # single-CPU host
+        g1 = _srs_host_points(srs)
+        scalars = FR.decode(coeffs)
+        return CV.host_msm(g1[: len(scalars)], scalars)
     return CV.to_affine_host(srs.commit(coeffs))[0]
+
+
+def _srs_host_points(srs: SRS) -> list:
+    pts = getattr(srs, "_host_points", None)
+    if pts is None:
+        from halo2_aes_tpu.ops.field import FQ
+
+        xs = np.asarray(srs.g1_x)
+        ys = np.asarray(srs.g1_y)
+        pts = [(FQ.from_mont_host(F.limbs_to_int(xs[i])),
+                FQ.from_mont_host(F.limbs_to_int(ys[i])))
+               for i in range(xs.shape[0])]
+        object.__setattr__(srs, "_host_points", pts)
+    return pts
 
 
 def layout_fingerprint(layout: CompiledCircuit) -> str:
@@ -197,7 +218,12 @@ def keygen(layout: CompiledCircuit, srs: SRS,
     ext_k = k + max(1, (cs.degree() - 2).bit_length())  # ext_n >= (d-1) n
     usable = layout.usable_rows
 
-    fixed_ids = layout.fixed_ids()
+    # Only fixed columns the protocol references (gates/lookups/
+    # permutation) are lifted and committed: unreferenced ones (pruned
+    # dead selectors) are all-zero and would commit to the identity
+    # point, which halo2 transcripts reject (reference src/main.rs:92).
+    referenced = cs.referenced_columns()
+    fixed_ids = [c for c in layout.fixed_ids() if c in referenced]
     fixed_stack = layout.fixed[fixed_ids]                 # (cf, n) numpy
     assert int(fixed_stack.max(initial=0)) < (1 << 16)
 

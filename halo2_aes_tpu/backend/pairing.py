@@ -168,7 +168,11 @@ def fq12_mul(a, b):
 
 
 def fq12_inv(a):
-    """Extended Euclid over Fq[x] for a modulo x^12 - 18 x^6 + 82."""
+    """Extended Euclid over Fq[x] for a modulo x^12 - 18 x^6 + 82.
+
+    Structure follows the classic polynomial extended-Euclid inverse from
+    the MIT-licensed py_ecc library (ethereum/py_ecc, ``FQP.__div__`` /
+    ``prime_field_inv``) — a host-side oracle used only off the hot path."""
     lm, hm = [1] + [0] * 12, [0] * 13
     low = list(a) + [0]
     high = [82, 0, 0, 0, 0, 0, -18, 0, 0, 0, 0, 0, 1]

@@ -66,6 +66,10 @@ def build_assembly(perm_columns, n: int, copy_pairs: np.ndarray) -> PermutationA
     """
     m = len(perm_columns)
     N = m * n
+    if N == 0:
+        # no equality-enabled columns: empty permutation argument
+        z = np.zeros((0, n), dtype=np.int32)
+        return PermutationAssembly(list(perm_columns), z, z)
     pairs = np.asarray(copy_pairs, dtype=np.int64).reshape(-1, 4)
     parent = np.arange(N, dtype=np.int64)
 

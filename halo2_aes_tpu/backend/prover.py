@@ -226,15 +226,7 @@ class _Phases:
         # the static sub-coset evaluations are computed once per pk and
         # cached on device (self._static_evals), halving the per-proof
         # quotient NTT count.
-        needed = set()
-        for _, g in cs.gates:
-            needed |= {c for c, _ in g.columns()}
-        for lk in cs.lookups:
-            for e, tc in lk.pairs:
-                needed |= {c for c, _ in e.columns()}
-                needed.add(tc)
-        needed |= set(cs.perm_columns)
-        self.needed_cols = sorted(needed)
+        self.needed_cols = sorted(cs.referenced_columns())
         dyn_cols = set(self.adv_ids) | set(self.inst_ids)
         skeys = [("col", c) for c in self.needed_cols if c not in dyn_cols]
         skeys += [("sigma", i) for i in range(len(cs.perm_columns))]
@@ -274,6 +266,7 @@ class _Phases:
         self.shplonk_f = wrap(self._shplonk_f)
         self.shplonk_l = wrap(self._shplonk_l)
         self.gwc_witness = wrap(self._gwc_witness)
+        self.hshp_blind_fix = wrap(self._hshp_blind_fix)
         self._eval_jits = {}
 
     def eval_many(self, flat, x_m, count: int):
@@ -316,35 +309,35 @@ class _Phases:
         3 GB -> 23 GB).  The single-device path is ops/ntt.ntt_many
         (grouped flat batched lattices — sequential per-poly NTTs were
         the quotient phase's dominant cost, 176 transforms at k=17)."""
-        n = self.n
         if self.mesh is None:
             return ntt_many(self.dom, flat, count, inverse=inverse,
                             shift_pows=shift_pows)
-        if shift_pows is not None:
-            flat = F.mont_mul_fast(FR, flat, jnp.tile(shift_pows, (count, 1)))
         from halo2_aes_tpu.parallel import ntt as pntt
 
-        rows = [
-            pntt.ntt_sharded(self.mesh, self.mesh_axis, self.dom,
-                             flat[i * n : (i + 1) * n], inverse=inverse)
-            for i in range(count)
-        ]
-        return jnp.concatenate(rows)
+        return pntt.ntt_sharded_many(self.mesh, self.mesh_axis, self.dom,
+                                     flat, count, inverse=inverse,
+                                     shift_pows=shift_pows)
 
     def commit(self, coeffs):
-        """KZG commit; point-sharded collective MSM when on a mesh."""
+        """KZG commit; point+table-sharded collective MSM when on a
+        mesh (same shifted-window-table fast path as the single-device
+        commit, so neither path pays the Horner doubling tail)."""
         if self.mesh is None:
             return self.pk.srs.commit(coeffs)
+        from halo2_aes_tpu.ops import msm as M
         from halo2_aes_tpu.parallel import msm as pmsm
 
         srs = self.pk.srs
+        srs.warm_tables()
         scalars = F.from_mont(FR, coeffs)
         m = scalars.shape[0]
         if m < srs.n:
             scalars = jnp.concatenate(
                 [scalars, jnp.zeros((srs.n - m, F.LIMBS), jnp.uint32)])
         return pmsm.msm_sharded(self.mesh, self.mesh_axis,
-                                (srs.g1_x, srs.g1_y), scalars)
+                                (srs.g1_x, srs.g1_y), scalars,
+                                c=M.default_window(srs.n),
+                                tables=srs._msm_tables)
 
     # -- phase 1: lift all columns to field form, blind advice, INTT ------
 
@@ -610,6 +603,13 @@ class _Phases:
         return P.coset_interp(
             self.dom, F.mont_mul(FR, l_ev, F.batch_inv(FR, den)))
 
+    def _hshp_blind_fix(self, h_shp, x_m, coef_m):
+        """h_shp += coef·Σ_i x^{n-1-i} X^i (the staggered piece blinds'
+        closed-form quotient correction) — ONE executable; the eager
+        form cost ~20 tunnel round trips inside the SHPLONK phase."""
+        rev_pows = jnp.flip(F.powers(FR, x_m, self.n), axis=0)
+        return F.add(FR, h_shp, F.mont_mul(FR, rev_pows, coef_m))
+
     def _shplonk_l(self, poly_flat, svals, h_shp, neg_zt_u, const_corr,
                    u_m):
         """L(X) and the final witness quotient W' = L/(X-u) coefficients.
@@ -639,18 +639,85 @@ def _get_phases(pk: ProvingKey, mesh=None, mesh_axis: str = "dp") -> _Phases:
     return cache[key]
 
 
+def _stagger_blind_pieces(piece_pts, blinds, g1_extra):
+    """Adjust quotient-piece commitments for the staggered blinds.
+
+    Piece j is blinded as  p'_j = p_j − b_{j−1} + b_j·X^n  (b outside
+    both ends = 0), which telescopes: Σ_j X^{jn} p'_j == h(X), so the
+    combined opening at any point is unchanged while every individual
+    piece becomes a uniformly random polynomial — no commitment is ever
+    the identity point, which halo2 transcripts reject (the reference's
+    Blake2bWrite unwraps coordinates(), src/main.rs:92).  The commitment
+    adjustment needs one SRS power past the committable range:
+    C'_j = C_j + b_j·[τ^n]G1 − b_{j−1}·G1 (host point math)."""
+    T = g1_extra
+    G = (CV.G1_X, CV.G1_Y)
+    r = FR.modulus
+    out = []
+    for j, pt in enumerate(piece_pts):
+        if j < len(blinds):
+            pt = CV.py_add(pt, CV.py_mul(T, blinds[j]))
+        if 0 < j <= len(blinds):
+            pt = CV.py_add(pt, CV.py_mul(G, (r - blinds[j - 1]) % r))
+        out.append(pt)
+    return out
+
+
 def _commit_pts_list(ph, polys):
     """Commit a list of (n, 16) coefficient polys; returns affine
     points (no transcript side effects — the caller absorbs, so
     checkpoint resume can replay absorbs from saved points).
 
-    All MSMs are dispatched before ANY result is read back, and the
-    projective results come home in ONE stacked transfer: per-point
-    np.asarray syncs serialized the device with tunnel-latency gaps
-    between commitments."""
-    jacs = [ph.commit(p) for p in polys]                 # all async
-    if not jacs:
+    On an accelerator with the SRS window tables resident, ALL polys
+    commit in ONE batched executable (ops/msm.msm_many): ~27 separate
+    per-commit dispatches ran as 27 short launch chains whose small
+    tail levels are latency-bound — the batched path staples every
+    commitment's windows onto one group axis.  Fallback (CPU tests /
+    mesh mode): dispatch per-poly MSMs async and read the results back
+    in one stacked transfer."""
+    if not polys:
         return []
+    import jax
+
+    srs = ph.pk.srs
+    if (ph.mesh is None and len(polys) > 1
+            and jax.default_backend() != "cpu"):
+        srs.warm_tables()
+        n_srs = srs.n
+        padded = []
+        for p in polys:
+            m = p.shape[0]
+            assert m <= n_srs
+            padded.append(p if m == n_srs else jnp.concatenate(
+                [p, jnp.zeros((n_srs - m, F.LIMBS), jnp.uint32)]))
+        from halo2_aes_tpu.ops import msm as MSM
+
+        c = MSM.default_window(n_srs)
+        # power-of-two batch sizes (8/4/2/1) so every circuit config
+        # reuses the SAME few msm_many executables instead of compiling
+        # one per distinct commitment-list length (~2 min per TPU
+        # compile variant)
+        stacks = []
+        i = 0
+        while i < len(padded):
+            take = 8
+            while take > len(padded) - i:
+                take //= 2
+            chunk = padded[i : i + take]
+            if take == 1:
+                jac = ph.commit(chunk[0])
+                stacks.append(tuple(cc[None] for cc in jac))
+            else:
+                scalars = F.from_mont(FR, jnp.concatenate(chunk))
+                st = MSM.msm_many((srs.g1_x, srs.g1_y), scalars, take, c,
+                                  srs._msm_tables)
+                stacks.append((st[0], st[1], st[2]))
+            i += take
+        merged = tuple(
+            jnp.concatenate([s[j] for s in stacks]) for j in range(3))
+        return CV.to_affine_host(merged)
+
+    jacs = [ph.commit(p) for p in polys]                 # all async
     stacked = tuple(jnp.stack([j[i] for j in jacs]) for i in range(3))
     return CV.to_affine_host(stacked)
 
@@ -829,9 +896,14 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     if st is None:
         z_blind = _rand_field(rng, ph.chunks, bf)
         lkz_blind = _rand_field(rng, max(ph.n_lk, 1), bf)
-        z_perm_coeffs = ph.perm_products(
-            all_fld, pk.sigma_values, pk.id_values, beta_m, gamma_m, z_blind)
-        prod_pts = _commit_pts(ph, z_perm_coeffs, ph.chunks)
+        if ph.chunks:
+            z_perm_coeffs = ph.perm_products(
+                all_fld, pk.sigma_values, pk.id_values, beta_m, gamma_m,
+                z_blind)
+            prod_pts = _commit_pts(ph, z_perm_coeffs, ph.chunks)
+        else:
+            z_perm_coeffs = jnp.zeros((0, F.LIMBS), jnp.uint32)
+            prod_pts = []
         if ph.n_lk:
             lkzs = []
             for i in range(ph.n_lk):
@@ -913,11 +985,25 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
                 jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))
         pieces = ph.quotient_finish(q_subs)
         piece_pts = _commit_pts(ph, pieces, ph.d - 1)
+        # staggered piece blinds (see _stagger_blind_pieces); skipped when
+        # the SRS lacks the tau^n power (ceremony .srs files)
+        n_qb = ph.d - 2 if pk.srs.g1_extra is not None else 0
+        if n_qb > 0:
+            qb_limbs = np.asarray(_rand_field(rng, n_qb))
+            q_blinds = [int(F.limbs_to_int(qb_limbs[j])) for j in range(n_qb)]
+            piece_pts = _stagger_blind_pieces(piece_pts, q_blinds,
+                                              pk.srs.g1_extra)
+        else:
+            qb_limbs = np.zeros((0, F.LIMBS), np.uint32)
+            q_blinds = []
         if ck:
-            ck.save("quotient", {"pieces": pieces}, piece_pts, rng)
+            ck.save("quotient", {"pieces": pieces, "qblinds": qb_limbs},
+                    piece_pts, rng)
     else:
         arrays, piece_pts, rng_state = st
         pieces = arrays["pieces"]
+        qb = np.asarray(arrays.get("qblinds", np.zeros((0, F.LIMBS))))
+        q_blinds = [int(F.limbs_to_int(qb[j])) for j in range(qb.shape[0])]
         _restore_rng(rng_state)
     for pt in piece_pts:
         tr.write_point(pt)
@@ -929,6 +1015,15 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     xn_pows = jnp.asarray(FR.encode([pow(xn, j, FR.modulus)
                                      for j in range(ph.d - 1)]))
     h_combined = ph.h_combine(pieces, xn_pows)
+    # staggered piece blinds fold into ONE X^n term on the combined poly:
+    # h'(X) = h_combined(X) + cn·(X^n − x^n) with cn = Σ_j x^{jn} b_j
+    # (the constant part −cn·x^n is exactly what makes h'(x) == h(x), so
+    # claimed evals and the verifier's recomputed quotient value are
+    # untouched; only the multiopen witness polynomials see cn).
+    cn = 0
+    for j, b in enumerate(q_blinds):
+        cn = (cn + b * pow(xn, j, FR.modulus)) % FR.modulus
+    gn = pow(P.GEN, n, FR.modulus)   # X^n is constant on the base coset
 
     # ---- evaluations ----------------------------------------------------------
     def poly_coeffs(key):
@@ -987,6 +1082,10 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             for j, kk in enumerate(keys):
                 vp[j] = F.int_to_limbs(FR.to_mont_host(acc))
                 ev = (ev + acc * evals[(kk, rot)]) % FR.modulus
+                if kk == ("h",) and cn:
+                    # h'(X) − h'(z) contributes the on-coset constant
+                    # v^j·cn·(g^n − x^n); fold it into the coeff-0 term
+                    ev = (ev - acc * cn % FR.modulus * (gn - xn)) % FR.modulus
                 acc = acc * v % FR.modulus
             w = ph.gwc_witness(stack, jnp.asarray(vp),
                                jnp.asarray(FR.encode(ev)),
@@ -1014,6 +1113,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     corr_np = np.zeros((G, max_corr, F.LIMBS), np.uint32)
     zcs_np = np.zeros((G, max_zc, F.LIMBS), np.uint32)
     r_at = {}
+    v_h = 0
     v_pow = 1
     for gi, (key, rots) in enumerate(groups):
         pts = [rot_point(r) for r in rots]
@@ -1026,18 +1126,31 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         zcs_np[gi, : len(z_rest)] = F.ints_to_limbs_fast(
             [FR.to_mont_host(zc * v_pow % FR.modulus) for zc in z_rest])
         r_at[key] = (pts, evs)
+        if key == ("h",):
+            v_h = v_pow
         v_pow = v_pow * v % FR.modulus
 
+    _tick("shplonk:host-setup")
     poly_flat = jnp.concatenate([poly_coeffs(key) for key, _ in groups])
     f_acc = ph.shplonk_f(poly_flat, jnp.asarray(corr_np),
                          jnp.asarray(zcs_np))
+    _tick("shplonk:f")
 
     dom1 = domain(FR, k + 1)
     f_ev = P.coset_evals(dom1, P.pad_coeffs(f_acc, dom1.n))
     zt_ev = _eval_on_coset(dom1, P.vanishing_poly_coeffs(t_points))
     h_shp = P.coset_interp(dom1, F.mont_mul(FR, f_ev,
                                             F.batch_inv(FR, zt_ev)))[:n]
+    if cn:
+        # piece-blind correction: f gains v_h·cn·(X^n − x^n)·Z_{T∖S_h}(X),
+        # whose quotient by Z_T = Z_{T∖S_h}·(X − x) is the closed form
+        # v_h·cn·(X^n − x^n)/(X − x) = v_h·cn·Σ_i x^{n−1−i} X^i
+        h_shp = ph.hshp_blind_fix(
+            h_shp, jnp.asarray(FR.encode(x)),
+            jnp.asarray(FR.encode(v_h * cn % FR.modulus)))
+    _tick("shplonk:h")
     _commit_write(tr, ph, h_shp)
+    _tick("shplonk:W-commit")
 
     u = tr.squeeze_challenge()
     zt_u = P.eval_host(P.vanishing_poly_coeffs(t_points), u)
@@ -1052,6 +1165,11 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         svals_np[gi] = F.int_to_limbs(FR.to_mont_host(s))
         r_u = P.eval_host(P.lagrange_interp_host(pts, evs), u)
         const_corr = (const_corr + s * r_u) % FR.modulus
+        if key == ("h",) and cn:
+            # p'_h − r_h(u) carries the on-coset constant s·cn·(g^n − x^n);
+            # const_corr is subtracted at coeff 0, so fold it in negated
+            const_corr = (const_corr - s * cn % FR.modulus * (gn - xn)
+                          ) % FR.modulus
         v_pow = v_pow * v % FR.modulus
 
     q_w = ph.shplonk_l(
@@ -1059,6 +1177,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         jnp.asarray(FR.encode(FR.modulus - zt_u)),
         jnp.asarray(FR.encode(const_corr)),
         jnp.asarray(FR.encode(u)))
+    _tick("shplonk:L")
     _commit_write(tr, ph, q_w)
     _tick("shplonk")
 

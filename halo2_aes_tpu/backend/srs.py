@@ -43,6 +43,11 @@ class SRS:
     g2: tuple                # G2 generator, affine Fq2 ints
     s_g2: tuple              # [tau] G2
     cache_dir: str | None = None   # where setup() may cache derived tables
+    g1_extra: tuple | None = None  # [tau^n] G1 (plain affine ints): one power
+    #   past the committable range, used only to stagger-blind the quotient
+    #   pieces (backend/prover.py) so no commitment is ever the identity.
+    #   None for ceremony .srs files (halo2 format carries exactly n powers);
+    #   the prover then skips the piece blinds.
 
     @property
     def n(self) -> int:
@@ -149,10 +154,21 @@ def _points_from_scalars(scalars_plain):
     computed with batched fixed-window table sums on device.  All
     scalars must be nonzero mod r (no identity outputs).
 
+    Tiny inputs (toy-circuit SRS in tests and the multichip dryrun)
+    compute on HOST instead: the device path's one-time XLA compile is
+    ~a minute on the single-CPU host, vs < 1 s of bigint math for a few
+    hundred points.
+
     Processed in 2^17-scalar chunks: the windowed gather holds
     nwin x chunk points, and one monolithic k=20 batch wants ~34 GB
     of HBM (measured OOM)."""
     total = len(scalars_plain)
+    if total <= 512:
+        pts = [CV.py_mul((CV.G1_X, CV.G1_Y), int(s) % FR.modulus)
+               for s in scalars_plain]
+        xs = F.ints_to_limbs_fast([FQ.to_mont_host(x) for x, _ in pts])
+        ys = F.ints_to_limbs_fast([FQ.to_mont_host(y) for _, y in pts])
+        return jnp.asarray(xs), jnp.asarray(ys)
     if total > _POINTS_CHUNK:
         xs, ys = [], []
         for lo in range(0, total, _POINTS_CHUNK):
@@ -210,6 +226,7 @@ def setup(k: int, seed: bytes = b"halo2_aes_tpu dev srs",
     tau = int.from_bytes(
         hashlib.blake2b(seed, digest_size=64).digest(), "little"
     ) % FR.modulus
+    g1_extra = CV.py_mul((CV.G1_X, CV.G1_Y), pow(tau, 1 << k, FR.modulus))
     path = None
     if cache_dir is not None:
         tag = hashlib.blake2b(seed, digest_size=8).hexdigest()
@@ -218,13 +235,13 @@ def setup(k: int, seed: bytes = b"halo2_aes_tpu dev srs",
             z = np.load(path)
             s_g2 = PR.g2_mul(PR.G2, tau)
             srs = SRS(k, jnp.asarray(z["g1_x"]), jnp.asarray(z["g1_y"]),
-                      PR.G2, s_g2, cache_dir=cache_dir)
+                      PR.G2, s_g2, cache_dir=cache_dir, g1_extra=g1_extra)
             object.__setattr__(
                 srs, "_tag", _tag_from_host(z["g1_x"], z["g1_y"], s_g2))
             return srs
     g1_x, g1_y = _gen_g1_powers(k, tau)
     srs = SRS(k, g1_x, g1_y, PR.G2, PR.g2_mul(PR.G2, tau),
-              cache_dir=cache_dir)
+              cache_dir=cache_dir, g1_extra=g1_extra)
     if path is not None:
         os.makedirs(cache_dir, exist_ok=True)
         np.savez(path, g1_x=np.asarray(g1_x), g1_y=np.asarray(g1_y))

@@ -13,9 +13,12 @@ reference src/main.rs:92):
 
 Proof wire format (independent of the hash state): scalars are 32-byte
 LE; points are 32-byte compressed — x LE with the sign of y in bit 7 of
-byte 31, identity = all zeros.  (Assumed halo2curves-compatible; with no
-Rust toolchain or network in this environment, cross-parity is isolated
-to this module and documented rather than tested.)
+byte 31.  The identity NEVER appears on the wire: write_point/read_point
+reject it, matching halo2's panic-on-identity transcript semantics
+(the prover's blinding guarantees it cannot occur honestly).  (Assumed
+halo2curves-compatible; with no Rust toolchain or network in this
+environment, cross-parity is isolated to this module and documented
+rather than tested.)
 """
 
 from __future__ import annotations
@@ -83,11 +86,9 @@ class Transcript:
         self._state = hashlib.blake2b(digest_size=64, person=_PERSON)
 
     def common_point(self, pt) -> None:
-        # Identity is absorbed as (0, 0) — a documented deviation from
-        # halo2 (whose transcript panics on identity; halo2 never commits
-        # the zero polynomial, but a degenerate quotient piece or a
-        # zero-poly commitment here must not crash the prover).  See
-        # docs/PROTOCOL.md.
+        # write_point/read_point refuse the identity before reaching
+        # here (halo2 panic semantics); the (0,0) absorption below only
+        # serves direct common_point callers outside the wire path.
         self._state.update(PREFIX_POINT)
         if pt is None:
             self._state.update(bytes(64))
@@ -111,6 +112,14 @@ class TranscriptWriter(Transcript):
         self._buf = bytearray()
 
     def write_point(self, pt) -> None:
+        # Match halo2 semantics on the wire: its Blake2bWrite unwraps
+        # coordinates() and panics on the identity (reference
+        # src/main.rs:92).  The prover guarantees no identity commitment
+        # reaches the transcript (blinded advice/products, staggered
+        # quotient-piece blinds, pruned zero fixed columns); hitting this
+        # assert means a blinding invariant broke upstream.
+        if pt is None:
+            raise ValueError("identity point on the transcript wire")
         self.common_point(pt)
         self._buf += point_to_bytes(pt)
 
@@ -137,6 +146,9 @@ class TranscriptReader(Transcript):
 
     def read_point(self):
         pt = point_from_bytes(self._take(32))
+        if pt is None:
+            # mirror of write_point: reject identity on the wire
+            raise ValueError("identity point in proof")
         self.common_point(pt)
         return pt
 

@@ -4,7 +4,8 @@ Plays the role of halo2's ``ConstraintSystem`` (reference dependency layer,
 SURVEY.md section 2.13) but as a *static* description: the circuit shape is
 known up front, so there is no Layouter, no regions, no selector
 compression — selectors are plain fixed columns, and every assignment is a
-precomputed index map (see circuit/layout.py).
+precomputed index map (built by the static layout compilers in
+``models/aes128.py`` / ``models/aes128_dec.py``).
 
 Expressions are evaluated through an *algebra* object so the same IR
 drives three consumers:
@@ -241,6 +242,24 @@ class ConstraintSystem:
     def permutation_chunk_len(self) -> int:
         return max(1, self.degree() - 2)
 
+    def referenced_columns(self) -> set:
+        """Column ids referenced by any gate, lookup (input or table), or
+        the copy-constraint permutation — the set whose polynomials the
+        protocol actually opens/commits.  Fixed columns OUTSIDE this set
+        (e.g. selectors whose lookups were pruned) need no commitment:
+        committing their all-zero polynomials would put identity points
+        in the vk (halo2's transcript panics on identity — reference
+        dependency behavior, src/main.rs:92)."""
+        need = set()
+        for _, g in self.gates:
+            need |= {c for c, _ in g.columns()}
+        for lk in self.lookups:
+            for e, tc in lk.pairs:
+                need |= {c for c, _ in e.columns()}
+                need.add(tc)
+        need |= set(self.perm_columns)
+        return need
+
     def blinding_factors(self) -> int:
         """Unusable blinding rows at the tail of each advice column.
 
@@ -249,6 +268,44 @@ class ConstraintSystem:
         max(3, max queries)+2 rows. With single-rotation queries: 5.
         """
         return 5
+
+
+def _prod_factor_refs(e: Expr) -> set:
+    """Rotation-0 column refs that appear as top-level multiplicative
+    factors of ``e`` (so e == 0 wherever any of them is 0)."""
+    if isinstance(e, Prod):
+        return _prod_factor_refs(e.a) | _prod_factor_refs(e.b)
+    if isinstance(e, Neg):
+        return _prod_factor_refs(e.inner)
+    if isinstance(e, Ref) and e.rotation == 0:
+        return {e.column}
+    return set()
+
+
+def prune_dead_lookups(cs: ConstraintSystem, fixed: np.ndarray) -> list:
+    """Drop lookup arguments that are provably inactive: every input pair
+    is guarded by a common fixed-column factor whose values are all zero,
+    so each row's input tuple is (0,...,0) — the disabled-row convention
+    matched by the table's all-zero row.  Removing such a lookup changes
+    neither satisfiability nor soundness, and saves the prover a permuted
+    pair + grand product + 3 commitments per proof.
+
+    The reference configures 5 lookups per column set unconditionally
+    (src/aes128.rs:63-115) even when a chip is never used (e.g. the range
+    chip outside the key-schedule set, src/aes128.rs:168); with a static
+    layout the dead ones are visible at compile time.  Returns the names
+    of the dropped lookups."""
+    fixed_cols = {c.index for c in cs.columns if c.kind == FIXED}
+    live, dropped = [], []
+    for lk in cs.lookups:
+        guards = None
+        for e, _ in lk.pairs:
+            f = {c for c in _prod_factor_refs(e) if c in fixed_cols}
+            guards = f if guards is None else (guards & f)
+        dead = bool(guards) and any(not fixed[c].any() for c in guards)
+        (dropped if dead else live).append(lk)
+    cs.lookups = live
+    return [lk.name for lk in dropped]
 
 
 @dataclass

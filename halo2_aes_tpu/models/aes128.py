@@ -15,7 +15,11 @@ Deliberate deviations from the reference (see SURVEY.md section 7):
   * the key schedule consumes exactly 400 chip rows (reference budgets
     1760, src/constant.rs:113),
   * optional ``expose_ciphertext`` instance column (reference TODO at
-    src/aes128.rs:174).
+    src/aes128.rs:174),
+  * provably-dead lookup arguments are pruned at compile time (the
+    reference pays for 5 lookups per column set even when a chip never
+    fires, e.g. the range chip outside the key-schedule set,
+    src/aes128.rs:63-115,168) — see circuit/ir.py prune_dead_lookups.
 """
 
 from __future__ import annotations
@@ -339,7 +343,16 @@ def compile_circuit(cfg: AesConfig) -> CompiledCircuit:
 
     copy_pairs = np.concatenate(pairs, axis=0)
 
+    # drop lookups whose guard selector never fires (e.g. the u8 range
+    # lookup of every set but the key schedule's, or all five lookups of
+    # a set that received no blocks) — the reference configures them
+    # unconditionally and pays for them in every proof
+    from halo2_aes_tpu.circuit.ir import prune_dead_lookups
+
+    pruned = prune_dead_lookups(cs, fixed)
+
     meta = {
+        "pruned_lookups": pruned,
         "config": cfg,
         "columns": cols,
         "capacities": caps,

@@ -326,7 +326,14 @@ def compile_circuit(cfg: AesDecConfig) -> CompiledCircuit:
 
     copy_pairs = np.concatenate(pairs, axis=0)
 
+    # see models/aes128.py: dead lookups (never-firing guard selectors)
+    # are dropped at compile time
+    from halo2_aes_tpu.circuit.ir import prune_dead_lookups
+
+    pruned = prune_dead_lookups(cs, fixed)
+
     meta = {
+        "pruned_lookups": pruned,
         "config": cfg,
         "columns": cols,
         "capacities": caps,

@@ -47,15 +47,20 @@ SCALAR_BITS = 254
 # max gathered-tree rows (G * n_pad) per window group: the rank-2 tree
 # holds ~2*rows per level chain * 3 coords * 64 B/row (~0.4 GB/2^20
 # rows), and the k=20 prover phases keep most of HBM occupied already.
+# At n <= 2^17 the whole window set fits one group well inside HBM, and
+# fewer sequential lax.map groups directly cut the latency-bound tail
+# (measured: 2^17 commit 192 -> 151 ms going 2^20 -> 2^23 budget).
 # Overridable for experiments / memory-rich single-MSM runs.
 _GROUP_BUDGET = 1 << 20
 
 
-def _group_budget() -> int:
+def _group_budget(n_pad: int = 1 << 20) -> int:
     import os
 
     v = os.environ.get("HALO2_TPU_MSM_GROUP_BUDGET")
-    return int(v) if v else _GROUP_BUDGET
+    if v:
+        return int(v)
+    return (1 << 23) if n_pad <= (1 << 17) else _GROUP_BUDGET
 
 
 def default_window(n: int) -> int:
@@ -363,7 +368,7 @@ def msm(points, scalars, c: int | None = None, tables=None):
     if n_pad != n:
         digs = jnp.pad(digs, ((0, 0), (0, n_pad - n)))
 
-    group = max(1, min(W, _group_budget() // n_pad))
+    group = max(1, min(W, _group_budget(n_pad) // n_pad))
     n_groups = -(-W // group)
     group = -(-W // n_groups)   # balance: 26 windows as 4x7, not 3x8+2
     if n_groups * group != W:  # pad with all-zero-digit windows (S_w = 0)
@@ -396,6 +401,67 @@ def msm(points, scalars, c: int | None = None, tables=None):
         return CV.add(acc, (sx[w], sy[w], sz[w]))
 
     return jax.lax.fori_loop(0, W, fold, CV.identity())
+
+
+@functools.partial(jax.jit, static_argnames=("c", "count"))
+def msm_many(points, scalars_flat, count: int, c: int, tables):
+    """``count`` independent MSMs over the SAME point set in ONE
+    executable: scalars_flat is FLAT (count*n, 16) plain Fr limbs
+    (commitment i's scalars at rows [i*n, (i+1)*n)).
+
+    The prover issues ~27 size-n commitments per proof; dispatched one
+    jitted call each they execute as ~27 sequential launch chains whose
+    small tail levels are latency-bound.  Batching staples every
+    commitment's windows onto the same group axis, so the device sees
+    one long stream of maximal-batch adds instead of 27 short ones.
+
+    Requires the 2^{cw}-shifted window ``tables`` (no Horner tail) and
+    power-of-two n.  Returns a projective (3, count, 16) stack."""
+    px, py = points
+    n = px.shape[0]
+    assert n & (n - 1) == 0, "tables require power-of-two n"
+    W = -(-SCALAR_BITS // c)
+    assert tables.shape == (W * n, 2 * F.LIMBS)
+
+    digs = jnp.concatenate(
+        [digit_matrix(scalars_flat[i * n : (i + 1) * n], c)
+         for i in range(count)])                          # (count*W, n)
+    total = count * W
+    group = max(1, min(total, _group_budget(n) // n))
+    n_groups = -(-total // group)
+    group = -(-total // n_groups)
+    if n_groups * group != total:
+        digs = jnp.pad(digs, ((0, n_groups * group - total), (0, 0)))
+    wbase = jnp.clip(jnp.arange(n_groups * group, dtype=jnp.int32) % W,
+                     0, W - 1)
+    sums = jax.lax.map(
+        lambda args: _window_sums(px, py, args[0], c, n,
+                                  tables=tables, tbase=args[1]),
+        (digs.reshape(n_groups, group, n), wbase.reshape(n_groups, group)),
+    )
+    # (n_groups, G, 16) x3 -> per-commit window stacks -> tree fold
+    out = []
+    for t in sums:
+        flat = t.reshape(n_groups * group, F.LIMBS)[:total]
+        out.append(jnp.swapaxes(flat.reshape(count, W, F.LIMBS), 0, 1)
+                   .reshape(W * count, F.LIMBS))
+    # fold the W axis: rows [w*count, (w+1)*count) hold window w for all
+    # commits; _tree_add needs window-major halving, so reshape to
+    # (W, count, 16) folding semantics via the flat row layout
+    x, y, z = out
+    m = W
+    while m > 1:
+        half = m // 2
+        lo = (x[: half * count], y[: half * count], z[: half * count])
+        hi = (x[half * count : 2 * half * count],
+              y[half * count : 2 * half * count],
+              z[half * count : 2 * half * count])
+        s = CV.add(lo, hi)
+        x = jnp.concatenate([s[0], x[2 * half * count :]], axis=0)
+        y = jnp.concatenate([s[1], y[2 * half * count :]], axis=0)
+        z = jnp.concatenate([s[2], z[2 * half * count :]], axis=0)
+        m -= half
+    return jnp.stack([x, y, z])
 
 
 def msm_host(points, scalars) -> tuple | None:

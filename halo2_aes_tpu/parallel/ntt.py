@@ -43,11 +43,18 @@ def _twiddle_matrix(dom: Domain, n1: int, n2: int, inverse: bool):
 _FN_CACHE: dict = {}
 
 
-def _sharded_fn(mesh, axis: str, dom: Domain, inverse: bool):
-    """Compiled four-step transform, CACHED per (mesh, axis, domain,
-    direction) — building a fresh jit per call would recompile every
-    time (tens of seconds on this host)."""
-    key = (mesh, axis, dom.spec, dom.k, inverse)
+def _sharded_fn(mesh, axis: str, dom: Domain, inverse: bool, count: int,
+                with_shift: bool):
+    """Compiled BATCHED four-step transform, CACHED per (mesh, axis,
+    domain, direction, batch count, shift?) — building a fresh jit per
+    call would recompile every time (tens of seconds on this host).
+
+    The batch dimension is handled INSIDE the one compiled body (vmapped
+    sub-NTTs over count*rows), so a caller transforming 10 polys traces
+    ONE four-step lattice instead of inlining 10 — the per-poly variant
+    made every prover phase's mesh graph ~count× bigger, which is what
+    blew the round-2 multichip dryrun past the driver budget."""
+    key = (mesh, axis, dom.spec, dom.k, inverse, count, with_shift)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
     spec = dom.spec
@@ -58,32 +65,50 @@ def _sharded_fn(mesh, axis: str, dom: Domain, inverse: bool):
     dom1 = domain(spec, k1)
     dom2 = domain(spec, k2)
 
-    by_col = NamedSharding(mesh, P(None, axis, None))
-    by_row = NamedSharding(mesh, P(axis, None, None))
+    by_col = NamedSharding(mesh, P(None, None, axis, None))
+    by_row = NamedSharding(mesh, P(None, axis, None, None))
     flat = NamedSharding(mesh, P(axis, None))
 
-    col_ntt = jax.vmap(lambda c: ntt(dom1, c, inverse=inverse), in_axes=1, out_axes=1)
-    row_ntt = jax.vmap(lambda r: ntt(dom2, r, inverse=inverse), in_axes=0, out_axes=0)
+    # sub-NTTs vmapped over (count, other-axis): ONE traced body each
+    col_ntt = jax.vmap(
+        jax.vmap(lambda c: ntt(dom1, c, inverse=inverse),
+                 in_axes=1, out_axes=1))
+    row_ntt = jax.vmap(
+        jax.vmap(lambda r: ntt(dom2, r, inverse=inverse),
+                 in_axes=0, out_axes=0))
 
     @functools.partial(jax.jit, out_shardings=flat)
-    def run(x):
+    def run(x, shift_pows):
+        if with_shift:
+            x = F.mont_mul(spec, x, jnp.tile(shift_pows, (count, 1)))
         tw = _twiddle_matrix(dom, n1, n2, inverse)
-        a = jax.lax.with_sharding_constraint(x.reshape(n1, n2, F.LIMBS), by_col)
-        b = F.mont_mul(spec, col_ntt(a), tw)
+        a = jax.lax.with_sharding_constraint(
+            x.reshape(count, n1, n2, F.LIMBS), by_col)
+        b = F.mont_mul(spec, col_ntt(a), tw[None])
         c = jax.lax.with_sharding_constraint(b, by_row)   # the all-to-all
         d = row_ntt(c)
-        return jnp.swapaxes(d, 0, 1).reshape(dom.n, F.LIMBS)
+        return jnp.swapaxes(d, 1, 2).reshape(count * dom.n, F.LIMBS)
 
     _FN_CACHE[key] = run
     return run
 
 
-def ntt_sharded(mesh, axis: str, dom: Domain, x, inverse: bool = False):
-    """Distributed NTT of x (n, LIMBS) over one mesh axis.
+def ntt_sharded_many(mesh, axis: str, dom: Domain, flat, count: int,
+                     inverse: bool = False, shift_pows=None):
+    """Distributed NTT of ``count`` stacked polys (FLAT (count*n, LIMBS),
+    poly i at rows [i*n, (i+1)*n)) over one mesh axis; optional coset
+    shift-power pre-scaling folded into the same executable.
 
     Works on any mesh (including a single device); the sub-transform
     sizes are k//2 and k - k//2, so the all-to-all moves each element
-    exactly once.
-    """
+    exactly once."""
+    fn = _sharded_fn(mesh, axis, dom, inverse, count, shift_pows is not None)
+    if shift_pows is None:
+        shift_pows = jnp.zeros((0, F.LIMBS), jnp.uint32)
     with mesh:
-        return _sharded_fn(mesh, axis, dom, inverse)(x)
+        return fn(flat, shift_pows)
+
+
+def ntt_sharded(mesh, axis: str, dom: Domain, x, inverse: bool = False):
+    """Distributed NTT of one poly x (n, LIMBS) over one mesh axis."""
+    return ntt_sharded_many(mesh, axis, dom, x, 1, inverse=inverse)

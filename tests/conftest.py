@@ -16,7 +16,13 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# HALO2_TEST_DEVICE=tpu runs the suite against the attached accelerator
+# instead (used for the AES-scale slow tier, which auto-enables on
+# non-CPU backends — tests/test_aes_prove.py); default stays the CPU
+# mesh so multi-device sharding is exercised without hardware.
+_TEST_DEVICE = os.environ.get("HALO2_TEST_DEVICE", "cpu")
+if _TEST_DEVICE == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 # NOTE: the persistent compilation cache is deliberately NOT enabled:
 # jaxlib segfaults deserializing cached executables of the big MSM scan
 # graphs (reproduced twice on this host, 2026-08-16).  In-process pjit
@@ -27,4 +33,12 @@ jax.config.update("jax_platforms", "cpu")
 # trade runtime fusion for ~100x smaller traced graphs.
 from halo2_aes_tpu.ops import field  # noqa: E402
 
-field.set_compact_graphs(True)
+if _TEST_DEVICE == "cpu":
+    field.set_compact_graphs(True)
+else:
+    # accelerator run: production kernel policy (Pallas fast sites)
+    from halo2_aes_tpu.ops import pallas_field  # noqa: E402
+    from halo2_aes_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+    pallas_field.enable_in_field_ops()
+    enable_compile_cache()

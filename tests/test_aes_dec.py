@@ -89,9 +89,12 @@ def test_dec_recovers_plaintext_in_witness():
 
 
 def test_dec_multi_set_satisfied():
-    layout, vals, _ = _build(n_sets=2, n_blocks=3)
+    # 100 blocks spill past set 0's 96-block capacity so set 1's lookups
+    # are live; its range lookup (key-schedule-only) is pruned at compile
+    layout, vals, _ = _build(n_sets=2, n_blocks=100)
     mock.assert_satisfied(layout, jnp.asarray(vals))
-    assert len(layout.cs.lookups) == 6
+    assert len(layout.cs.lookups) == 5
+    assert layout.meta["pruned_lookups"] == ["u8 range check (dec set 1)"]
 
 
 def test_dec_corrupt_op_rejected():

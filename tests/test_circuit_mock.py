@@ -34,19 +34,48 @@ def test_aes_circuit_satisfied():
 
 def test_multi_set_circuit_satisfied():
     # more blocks than one set can hold at k=17 forces use of set 1
-    cfg = aes128.AesConfig(k=17, n_sets=2, n_blocks=3)
+    cfg = aes128.AesConfig(k=17, n_sets=2, n_blocks=100)
     layout = aes128.compile_circuit(cfg)
     caps = layout.meta["capacities"]
-    assert caps[0] == ((1 << 17) - 6 - 400) // 1360
-    # place blocks across sets by spoofing capacity? simpler: verify a
-    # 2-set layout with blocks within set 0 + manual placement check
+    assert caps[0] == ((1 << 17) - 6 - 400) // 1360  # == 96 < 100
     placements = layout.meta["placements"]
-    assert placements[0][0] == 0
+    assert placements[0][0] == 0 and placements[-1][0] == 1
     key = np.zeros(16, np.uint8)
-    pts = np.arange(48, dtype=np.uint8).reshape(3, 16)
+    pts = np.arange(1600, dtype=np.uint8).reshape(100, 16)
     pool = witness.build_pool(jnp.asarray(key), jnp.asarray(pts))
     vals = witness.assemble_values(layout, pool)
     mock.assert_satisfied(layout, vals)
+
+
+def test_dead_lookup_pruning():
+    """Compile-time dead-lookup elimination (circuit/ir.py
+    prune_dead_lookups): a selector that never fires takes its lookup
+    argument with it, and the selector column drops out of the
+    referenced (committed) set — so no all-zero fixed column is ever
+    committed (identity point, rejected by halo2 transcripts)."""
+    # spilled 2-set config: only set 1's key-schedule-less range lookup
+    # is dead
+    layout = aes128.compile_circuit(
+        aes128.AesConfig(k=17, n_sets=2, n_blocks=100))
+    assert layout.meta["pruned_lookups"] == ["u8 range check (set 1)"]
+    assert len(layout.cs.lookups) == 9
+    ref = layout.cs.referenced_columns()
+    dead_sel = layout.meta["columns"].chip_sets[1].selectors[0]
+    assert dead_sel not in ref
+    # every referenced fixed column is nonzero somewhere
+    for c in layout.fixed_ids():
+        if c in ref:
+            assert layout.fixed[c].any(), c
+
+    # an EMPTY set loses all five of its lookups
+    layout2 = aes128.compile_circuit(
+        aes128.AesConfig(k=17, n_sets=2, n_blocks=3))
+    assert len(layout2.cs.lookups) == 5
+    assert len(layout2.meta["pruned_lookups"]) == 5
+    ref2 = layout2.cs.referenced_columns()
+    for c in layout2.fixed_ids():
+        if c in ref2:
+            assert layout2.fixed[c].any(), c
 
 
 def test_ciphertext_in_witness():

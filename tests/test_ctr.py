@@ -3,7 +3,8 @@
 Fast tier: counter construction + keystream XOR validated against the
 official SP 800-38A F.5.1 CTR-AES128 vectors (the reference has no
 mode-of-operation layer at all).  The end-to-end bundle prove/verify is
-gated with the other AES-scale proves (HALO2_AES_TPU_SLOW=1)."""
+auto-enabled on accelerators like the other AES-scale proves
+(HALO2_AES_TPU_SLOW=1 forces it on CPU)."""
 
 import os
 
@@ -11,6 +12,19 @@ import numpy as np
 import pytest
 
 from halo2_aes_tpu import ctr
+
+
+@pytest.fixture(autouse=True)
+def _aes_scale_gate(request):
+    if "slow" not in request.keywords:
+        return
+    if os.environ.get("HALO2_AES_TPU_SLOW") == "1":
+        return
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("AES-scale prove: runs on accelerators automatically; "
+                    "set HALO2_AES_TPU_SLOW=1 to force on CPU (hours)")
 
 
 def test_counter_block_layout():
@@ -64,10 +78,6 @@ def test_bundle_instances_split():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(
-    os.environ.get("HALO2_AES_TPU_SLOW") != "1",
-    reason="set HALO2_AES_TPU_SLOW=1 (AES-scale prove)",
-)
 def test_ctr_bundle_prove_verify():
     """3 keystream blocks at blocks_per_proof=2 -> 2 proofs (padded
     final chunk), ONE pairing-product verification for the bundle, and

@@ -9,10 +9,13 @@ from halo2_aes_tpu.utils import cost_model, layout_viz
 
 
 def test_cost_model_aes(tmp_path):
-    layout = compile_circuit(AesConfig(k=17, n_sets=2, n_blocks=3))
+    # 100 blocks spill into set 1 (set-0 capacity is 96 at k=17), so both
+    # sets' lookups are live — except set 1's u8 range lookup, which only
+    # the key schedule (set 0) uses and compile-time pruning drops
+    layout = compile_circuit(AesConfig(k=17, n_sets=2, n_blocks=100))
     cm = cost_model.estimate(layout)
     assert cm.k == 17 and cm.ext_k == 19
-    assert cm.lookups == 10          # 5 per column set
+    assert cm.lookups == 9           # 5 (set 0) + 4 (set 1, range pruned)
     assert cm.gates == 1             # Equality RC
     assert cm.advice_columns == 7    # 3 per set + words
     assert cm.max_degree == 5
@@ -33,9 +36,10 @@ def test_cost_model_dec_circuit():
     from halo2_aes_tpu.models.aes128_dec import AesDecConfig
     from halo2_aes_tpu.models.aes128_dec import compile_circuit as compile_dec
 
-    layout = compile_dec(AesDecConfig(k=17, n_sets=2, n_blocks=3))
+    layout = compile_dec(AesDecConfig(k=17, n_sets=2, n_blocks=100))
     cm = cost_model.estimate(layout)
-    assert cm.lookups == 6           # 3 per column set (tagged-op design)
+    # 3 per live column set (tagged-op design), set 1's range lookup pruned
+    assert cm.lookups == 5
     assert cm.proof_bytes == 32 * (cm.proof_points + cm.proof_scalars)
 
 

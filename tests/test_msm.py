@@ -92,3 +92,26 @@ def test_msm_tables_path_matches_oracle():
     tabs = M.build_tables(pa, 5)
     out = M.msm(pa, sl, c=5, tables=tabs)
     assert CV.to_affine_host(out)[0] == M.msm_host(pts, scalars)
+
+
+def test_msm_many_matches_oracle():
+    """Batched multi-commitment MSM (the prover's one-dispatch commit
+    path) against the host oracle, including an all-zero commitment
+    (identity result) and a padded short poly."""
+    import random
+
+    import jax.numpy as jnp
+
+    pyrng = random.Random(9)
+    pts = [CV.py_mul(G, i + 3) for i in range(8)]
+    pa = CV.affine_from_ints(pts)
+    tabs = jnp.asarray(M.build_tables(pa, 5))
+    count = 3
+    scal = [[pyrng.randrange(F.FR.modulus) for _ in range(8)],
+            [0] * 8,
+            [pyrng.randrange(256) for _ in range(8)]]
+    flat = F.ints_to_limbs_fast([s for row in scal for s in row])
+    stack = M.msm_many(pa, jnp.asarray(flat), count, 5, tabs)
+    got = CV.to_affine_host((stack[0], stack[1], stack[2]))
+    for i in range(count):
+        assert got[i] == M.msm_host(pts, scal[i]), i

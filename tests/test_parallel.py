@@ -20,7 +20,9 @@ from halo2_aes_tpu.parallel import ntt as PNTT
 @pytest.fixture(scope="module")
 def mesh():
     devs = jax.devices()
-    assert len(devs) >= 8, "conftest must force 8 cpu devices"
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh "
+                    "(HALO2_TEST_DEVICE=tpu runs single-chip)")
     return Mesh(np.array(devs[:8]), axis_names=("dp",))
 
 

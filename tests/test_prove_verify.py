@@ -344,3 +344,55 @@ def test_second_backend_gwc_roundtrip(setup):
     bad[6, 2] = 6
     with pytest.raises(VerifyError):
         gwc.verify(pk.vk, gwc.prove(pk, bad, seed=22))
+
+
+def test_degenerate_quotient_blinded_no_identity_on_wire():
+    """A circuit whose quotient polynomial is identically ZERO (one gate,
+    satisfied with all-zero advice: the numerator vanishes everywhere,
+    including the blinding rows where q=0).  Without the staggered piece
+    blinds every quotient-piece commitment would be the identity point —
+    which the transcript now REJECTS (halo2 panic semantics, reference
+    src/main.rs:92).  The blinds must both keep the wire identity-free
+    and keep the proof verifying; both multiopen backends are covered.
+    """
+    cs = ConstraintSystem()
+    q = cs.fixed_column("q")
+    a0 = cs.advice_column("a0")
+    cs.create_gate("zero", Prod(Ref(q), Ref(a0)))
+
+    fixed = np.zeros((2, N), dtype=np.uint32)
+    fixed[q, 1] = 1
+    values = np.zeros((2, N), dtype=np.uint32)
+    layout = CompiledCircuit(
+        k=K, cs=cs, fixed=fixed,
+        witness_map=np.full((2, N), -1, np.int32),
+        copy_pairs=np.zeros((0, 4), np.int32), pool_len=0,
+    )
+    values += fixed
+    srs = SRS.setup(K, cache_dir=None)
+    assert srs.g1_extra is not None
+    pk = keygen(layout, srs)
+    for backend in ("shplonk", "gwc"):
+        proof = prove(pk, values, seed=11, multiopen=backend)
+        assert verify(pk.vk, proof, multiopen=backend)
+        # identity encodes as 32 zero bytes; every wire item is one
+        # 32-byte word and none may be all-zero (scalars here are
+        # challenge-mixed evals, zero w.p. ~2^-254)
+        assert all(proof[i:i + 32] != bytes(32)
+                   for i in range(0, len(proof), 32))
+        # different blinds -> different piece commitments, same verdict
+        proof2 = prove(pk, values, seed=12, multiopen=backend)
+        assert proof2 != proof
+        assert verify(pk.vk, proof2, multiopen=backend)
+
+
+def test_transcript_wire_rejects_identity():
+    from halo2_aes_tpu.backend.transcript import (
+        TranscriptReader, TranscriptWriter)
+
+    tr = TranscriptWriter()
+    with pytest.raises(ValueError, match="identity"):
+        tr.write_point(None)
+    rd = TranscriptReader(bytes(32))
+    with pytest.raises(ValueError, match="identity"):
+        rd.read_point()
