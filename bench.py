@@ -47,13 +47,15 @@ def pick_config() -> tuple:
         with open(os.path.join("ptau", "bench_config.json")) as f:
             cfg = json.load(f)
         if cfg.get("verified"):
-            return int(cfg["k"]), int(cfg["n_sets"]), int(cfg["n_blocks"])
+            return (int(cfg["k"]), int(cfg["n_sets"]), int(cfg["n_blocks"]),
+                    bool(cfg.get("tagged_ops", False)))
     except (OSError, ValueError, KeyError):
         pass
-    return 17, 1, 96
+    return 17, 1, 96, False
 
 
-def bench_prove(k: int = 17, blocks: int = 96, sets: int = 1) -> dict:
+def bench_prove(k: int = 17, blocks: int = 96, sets: int = 1,
+                tagged: bool = False) -> dict:
     # blocks = FULL circuit capacity for the config: prover cost is
     # domain-size-bound, so throughput is measured with the circuit full
     # (the reference driver likewise fills its circuit, src/main.rs:25)
@@ -79,7 +81,8 @@ def bench_prove(k: int = 17, blocks: int = 96, sets: int = 1) -> dict:
     from halo2_aes_tpu.circuit import witness
     from halo2_aes_tpu.models.aes128 import AesConfig, compile_circuit
 
-    layout = compile_circuit(AesConfig(k=k, n_sets=sets, n_blocks=blocks))
+    layout = compile_circuit(AesConfig(k=k, n_sets=sets, n_blocks=blocks,
+                                       tagged_ops=tagged))
     srs = SRS.setup(k)
     pk = keygen_cached(layout, srs)
 
@@ -108,6 +111,7 @@ def bench_prove(k: int = 17, blocks: int = 96, sets: int = 1) -> dict:
         "prove_seconds": round(dt, 2),
         "blocks_per_proof": blocks,
         "n_sets": sets,
+        "tagged_ops": tagged,
         "proof_bytes": len(proof),
         "field_muls_per_proof": muls["total"],
         "field_muls_per_sec": round(muls["total"] / dt),
@@ -183,8 +187,9 @@ def main():
         out["note"] = "device unreachable; CPU fallback metric"
         print(json.dumps(out))
         return
-    k, sets, blocks = pick_config()
-    print(json.dumps(bench_prove(k=k, blocks=blocks, sets=sets)))
+    k, sets, blocks, tagged = pick_config()
+    print(json.dumps(bench_prove(k=k, blocks=blocks, sets=sets,
+                                 tagged=tagged)))
 
 
 if __name__ == "__main__":

@@ -63,11 +63,12 @@ class ProvingKey:
     srs: SRS
     layout: CompiledCircuit
     assembly: object                 # PermutationAssembly (cached to disk)
-    fixed_field: dict                # col id -> (n, 16) Montgomery evals
     fixed_coeffs: dict               # col id -> (n, 16) coefficients
-    sigma_values: jnp.ndarray        # (m, n, 16)
-    sigma_coeffs: jnp.ndarray
-    id_values: jnp.ndarray           # (m, n, 16)
+    sigma_coeffs: jnp.ndarray        # FLAT (m*n, 16)
+    perm_maps: tuple                 # (map_col, map_row) int32 device arrays;
+    #   the prover rebuilds sigma/id label VALUES in-graph per proof —
+    #   keeping the two (m*n, 16) value tensors resident cost ~1.2 GB of
+    #   HBM at k=20 (a measured OOM contributor)
     l0_coeffs: jnp.ndarray
     l_last_coeffs: jnp.ndarray
     l_active_coeffs: jnp.ndarray
@@ -185,14 +186,10 @@ def _keygen_jit(k: int, cf: int, m_perm: int, usable: int):
                 FR,
                 jnp.take(delta_pows, map_col.reshape(-1), axis=0),
                 jnp.take(omega_pows, map_row.reshape(-1), axis=0))
-            id_values = F.mont_mul(
-                FR,
-                jnp.repeat(delta_pows, n, axis=0),
-                jnp.tile(omega_pows, (m_perm, 1)))
             sigma_coeffs = ntt_many(dom, sigma_values, m_perm, inverse=True)
         else:
             z = jnp.zeros((0, F.LIMBS), jnp.uint32)
-            sigma_values = id_values = sigma_coeffs = z
+            sigma_coeffs = z
 
         rows = jnp.arange(n)
         one = jnp.broadcast_to(jnp.asarray(FR.one_mont), (n, F.LIMBS))
@@ -203,8 +200,7 @@ def _keygen_jit(k: int, cf: int, m_perm: int, usable: int):
             F.select(rows < usable, one, zero),
         ])
         ind_coeffs = ntt_many(dom, ind, 3, inverse=True)
-        return (fld, fixed_coeffs, sigma_values, id_values, sigma_coeffs,
-                ind_coeffs)
+        return (fixed_coeffs, sigma_coeffs, ind_coeffs)
 
     return jax.jit(run)
 
@@ -235,14 +231,14 @@ def keygen(layout: CompiledCircuit, srs: SRS,
     omega_pows, delta_pows = PERM._label_tables(k, max(m_perm, 1))
 
     run = _keygen_jit(k, len(fixed_ids), m_perm, usable)
-    (fld_flat, fixed_coeffs_flat, sigma_values, id_values, sigma_coeffs,
-     ind_coeffs) = run(jnp.asarray(fixed_stack),
-                       jnp.asarray(assembly.map_col, dtype=jnp.int32),
-                       jnp.asarray(assembly.map_row, dtype=jnp.int32),
-                       omega_pows, delta_pows)
+    map_col = jnp.asarray(assembly.map_col, dtype=jnp.int32)
+    map_row = jnp.asarray(assembly.map_row, dtype=jnp.int32)
+    (fixed_coeffs_flat, sigma_coeffs, ind_coeffs) = run(
+        jnp.asarray(fixed_stack), map_col, map_row, omega_pows, delta_pows)
 
-    fixed_field = {c: fld_flat[i * n : (i + 1) * n]
-                   for i, c in enumerate(fixed_ids)}
+    # NOTE: the Lagrange-basis fixed values (fld_flat) are NOT kept on
+    # the pk: no consumer needs them post-keygen and the dict held
+    # ~1.6 GB of dead HBM at k=20 (a measured OOM contributor).
     fixed_coeffs = {c: fixed_coeffs_flat[i * n : (i + 1) * n]
                     for i, c in enumerate(fixed_ids)}
     if _precomputed is None:
@@ -266,11 +262,9 @@ def keygen(layout: CompiledCircuit, srs: SRS,
         srs=srs,
         layout=layout,
         assembly=assembly,
-        fixed_field=fixed_field,
         fixed_coeffs=fixed_coeffs,
-        sigma_values=sigma_values,
         sigma_coeffs=sigma_coeffs,
-        id_values=id_values,
+        perm_maps=(map_col, map_row),
         l0_coeffs=l0,
         l_last_coeffs=l_last,
         l_active_coeffs=l_active,

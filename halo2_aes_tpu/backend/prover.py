@@ -267,6 +267,7 @@ class _Phases:
         self.shplonk_l = wrap(self._shplonk_l)
         self.gwc_witness = wrap(self._gwc_witness)
         self.hshp_blind_fix = wrap(self._hshp_blind_fix)
+        self.shplonk_h = wrap(self._shplonk_h)
         self._eval_jits = {}
 
     def eval_many(self, flat, x_m, count: int):
@@ -413,10 +414,25 @@ class _Phases:
     # compiled graph reused for all lookups; only the tiny per-lookup
     # theta-compressions trace separately.
 
-    def _perm_products(self, all_fld, sigma_values, id_values,
+    def _perm_products(self, all_fld, map_col, map_row,
                        beta_m, gamma_m, z_blind):
-        """Permutation grand products -> FLAT z_perm coeffs (chunks*n, 16)."""
+        """Permutation grand products -> FLAT z_perm coeffs (chunks*n, 16).
+
+        The sigma/id label VALUES are rebuilt here in-graph from the
+        int32 permutation maps + the omega/delta power tables (their
+        transients die with the phase; keeping the two (m*n, 16) value
+        tensors resident on the pk cost ~1.2 GB at k=20)."""
         n = self.n
+        m = len(self.cs.perm_columns)
+        omega_pows, delta_pows = PERM._label_tables(self.k, m)
+        sigma_values = F.mont_mul(
+            FR,
+            jnp.take(delta_pows, map_col.reshape(-1), axis=0),
+            jnp.take(omega_pows, map_row.reshape(-1), axis=0))
+        id_values = F.mont_mul(
+            FR,
+            jnp.repeat(delta_pows, n, axis=0),
+            jnp.tile(omega_pows, (m, 1)))
         perm_values = jnp.concatenate(
             [all_fld[c * n : (c + 1) * n] for c in self.cs.perm_columns])
         z_perm = PERM.grand_products(
@@ -610,6 +626,26 @@ class _Phases:
         rev_pows = jnp.flip(F.powers(FR, x_m, self.n), axis=0)
         return F.add(FR, h_shp, F.mont_mul(FR, rev_pows, coef_m))
 
+    def _shplonk_h(self, f_acc, zt_coeffs_m):
+        """h_shp = [f / Z_T] via evaluation on the 2n coset, fused into
+        ONE executable (eagerly this chain — pad, 2 coset transforms,
+        a Horner Z_T evaluation, batch inversion — cost ~1.2 s of
+        per-op dispatches over the tunnel at k=17).
+
+        zt_coeffs_m: (D, 16) Montgomery coefficients of Z_T (degree
+        D-1, ascending)."""
+        dom1 = domain(FR, self.k + 1)
+        f_ev = P.coset_evals(dom1, P.pad_coeffs(f_acc, dom1.n))
+        pts = _coset_points(dom1)
+        D = zt_coeffs_m.shape[0]
+        acc = jnp.broadcast_to(zt_coeffs_m[D - 1], (dom1.n, F.LIMBS))
+        for d in range(D - 2, -1, -1):
+            acc = F.add(FR, F.mont_mul(FR, acc, pts),
+                        jnp.broadcast_to(zt_coeffs_m[d],
+                                         (dom1.n, F.LIMBS)))
+        return P.coset_interp(
+            dom1, F.mont_mul(FR, f_ev, F.batch_inv(FR, acc)))[: self.n]
+
     def _shplonk_l(self, poly_flat, svals, h_shp, neg_zt_u, const_corr,
                    u_m):
         """L(X) and the final witness quotient W' = L/(X-u) coefficients.
@@ -681,7 +717,11 @@ def _commit_pts_list(ph, polys):
 
     srs = ph.pk.srs
     if (ph.mesh is None and len(polys) > 1
-            and jax.default_backend() != "cpu"):
+            and jax.default_backend() != "cpu"
+            and ph.pk.srs.n <= (1 << 18)):
+        # batched path only below k=19: the staged concat (count x n
+        # scalars + count*W digit rows) OOMed HBM at k=20 n_sets=2,
+        # where per-commit launch overhead is amortized by n anyway
         srs.warm_tables()
         n_srs = srs.n
         padded = []
@@ -716,6 +756,18 @@ def _commit_pts_list(ph, polys):
         merged = tuple(
             jnp.concatenate([s[j] for s in stacks]) for j in range(3))
         return CV.to_affine_host(merged)
+
+    if ph.pk.srs.n > (1 << 18):
+        # large domains: bound the async queue — every queued MSM pins
+        # its 64 MB input slice plus transients, and HBM at k=20 runs
+        # within ~1 GB of full during the product/lookup phases
+        out = []
+        for lo in range(0, len(polys), 4):
+            jacs = [ph.commit(p) for p in polys[lo : lo + 4]]
+            stacked = tuple(
+                jnp.stack([j[i] for j in jacs]) for i in range(3))
+            out.extend(CV.to_affine_host(stacked))
+        return out
 
     jacs = [ph.commit(p) for p in polys]                 # all async
     stacked = tuple(jnp.stack([j[i] for j in jacs]) for i in range(3))
@@ -773,7 +825,8 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     import os
     import time as _time
 
-    _timing = os.environ.get("HALO2_PROVE_TIMING") == "1"
+    _tlevel = os.environ.get("HALO2_PROVE_TIMING", "0")
+    _timing = _tlevel in ("1", "2")
     _t0 = _time.perf_counter()
     _last = [_t0]
 
@@ -783,6 +836,28 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             print(f"[prove:{name}] +{now - _last[0]:.2f}s "
                   f"(t={now - _t0:.2f}s)", flush=True)
             _last[0] = now
+
+    def _sync_tick(name, value):
+        """HALO2_PROVE_TIMING=2: force the async device queue to drain
+        (a real transfer — block_until_ready lies over the axon tunnel)
+        and report the step time.  Profiling only: serializing the queue
+        costs throughput."""
+        if _tlevel == "2":
+            np.asarray(jax.tree_util.tree_leaves(value)[0])[:1]
+            _tick(name)
+        return value
+
+    _large = (1 << pk.vk.k) > (1 << 18)
+
+    def _drain(value):
+        """Large domains only: force the async dispatch queue to finish
+        before the next big executable is enqueued.  Queued executables
+        hold their outputs AND workspaces simultaneously; at k=20 the
+        product phase's queue alone overshoots HBM (measured OOM at the
+        per-lookup compression dispatch)."""
+        if _large:
+            np.asarray(jax.tree_util.tree_leaves(value)[0])[:1]
+        return value
 
     ph = _get_phases(pk, mesh, mesh_axis)
     vk, cs, layout = pk.vk, pk.vk.cs, pk.layout
@@ -862,11 +937,14 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             bl_s = _rand_field(rng, ph.n_lk, n - usable)
             lk_ap, lk_sp, lk_a_coeffs, lk_s_coeffs = ph.lookup_phase(
                 jnp.asarray(values_u32), all_fld, theta_m, bl_a, bl_s)
+            _drain(_sync_tick("lookup:phase", lk_s_coeffs))
             polys = []
             for i in range(ph.n_lk):       # transcript order: a'_i, s'_i
                 polys.append(lk_a_coeffs[i * n : (i + 1) * n])
                 polys.append(lk_s_coeffs[i * n : (i + 1) * n])
             lk_pts = _commit_pts_list(ph, polys)
+            if _tlevel == "2":
+                _tick("lookup:commits")
         else:
             z = jnp.zeros((0, F.LIMBS), jnp.uint32)
             lk_ap = lk_sp = lk_a_coeffs = lk_s_coeffs = z
@@ -897,27 +975,34 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         z_blind = _rand_field(rng, ph.chunks, bf)
         lkz_blind = _rand_field(rng, max(ph.n_lk, 1), bf)
         if ph.chunks:
-            z_perm_coeffs = ph.perm_products(
-                all_fld, pk.sigma_values, pk.id_values, beta_m, gamma_m,
-                z_blind)
-            prod_pts = _commit_pts(ph, z_perm_coeffs, ph.chunks)
+            z_perm_coeffs = _drain(_sync_tick(
+                "products:perm", ph.perm_products(
+                    all_fld, pk.perm_maps[0], pk.perm_maps[1], beta_m,
+                    gamma_m, z_blind)))
         else:
             z_perm_coeffs = jnp.zeros((0, F.LIMBS), jnp.uint32)
-            prod_pts = []
         if ph.n_lk:
             lkzs = []
             for i in range(ph.n_lk):
                 a_fld, s_fld = ph.compress_lk[i](all_fld, theta_m)
-                lkzs.append(ph.lookup_product(
+                lkzs.append(_drain(ph.lookup_product(
                     a_fld, s_fld, jnp.asarray(lk_ap)[i * n : (i + 1) * n],
                     jnp.asarray(lk_sp)[i * n : (i + 1) * n],
-                    beta_m, gamma_m, lkz_blind[i]))
-            lkz_coeffs = ph.intt_nlk(jnp.concatenate(lkzs))
-            prod_pts += _commit_pts(ph, lkz_coeffs, ph.n_lk)
+                    beta_m, gamma_m, lkz_blind[i])))
+            lkz_coeffs = _sync_tick("products:lookup-z",
+                                    ph.intt_nlk(jnp.concatenate(lkzs)))
         else:
             lkz_coeffs = jnp.zeros((0, F.LIMBS), jnp.uint32)
         random_coeffs = _rand_field(rng, n)
-        prod_pts += _commit_pts(ph, random_coeffs, 1)
+        # ONE batched commit for the whole phase (transcript order:
+        # perm z chunks, lookup z's, random poly)
+        prod_pts = _commit_pts_list(
+            ph,
+            [z_perm_coeffs[t * n : (t + 1) * n] for t in range(ph.chunks)]
+            + [lkz_coeffs[i * n : (i + 1) * n] for i in range(ph.n_lk)]
+            + [random_coeffs])
+        if _tlevel == "2":
+            _tick("products:commits")
         if ck:
             ck.save("products", {"z_perm_coeffs": z_perm_coeffs,
                                  "lkz_coeffs": lkz_coeffs,
@@ -979,12 +1064,14 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         q_subs = []
         for s in range(ph.ratio):
             shift_np, zh_inv_np = _subcoset_tables_np(k, ph.ext_k, s)
-            q_subs.append(ph.quotient_subcoset(
+            q_subs.append(_drain(_sync_tick(f"quotient:sub{s}", ph.quotient_subcoset(
                 ph.static_subcoset_evals(s), dyn_stack,
                 theta_m, beta_m, gamma_m, y_m,
-                jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))
-        pieces = ph.quotient_finish(q_subs)
+                jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))))
+        pieces = _sync_tick("quotient:finish", ph.quotient_finish(q_subs))
         piece_pts = _commit_pts(ph, pieces, ph.d - 1)
+        if _tlevel == "2":
+            _tick("quotient:commits")   # _commit_pts read back = synced
         # staggered piece blinds (see _stagger_blind_pieces); skipped when
         # the SRS lacks the tau^n power (ceremony .srs files)
         n_qb = ph.d - 2 if pk.srs.g1_extra is not None else 0
@@ -1136,11 +1223,9 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
                          jnp.asarray(zcs_np))
     _tick("shplonk:f")
 
-    dom1 = domain(FR, k + 1)
-    f_ev = P.coset_evals(dom1, P.pad_coeffs(f_acc, dom1.n))
-    zt_ev = _eval_on_coset(dom1, P.vanishing_poly_coeffs(t_points))
-    h_shp = P.coset_interp(dom1, F.mont_mul(FR, f_ev,
-                                            F.batch_inv(FR, zt_ev)))[:n]
+    zt_coeffs_m = jnp.asarray(F.ints_to_limbs_fast(
+        [FR.to_mont_host(c) for c in P.vanishing_poly_coeffs(t_points)]))
+    h_shp = ph.shplonk_h(f_acc, zt_coeffs_m)
     if cn:
         # piece-blind correction: f gains v_h·cn·(X^n − x^n)·Z_{T∖S_h}(X),
         # whose quotient by Z_T = Z_{T∖S_h}·(X − x) is the closed form
@@ -1209,14 +1294,3 @@ def _coset_points_np(dom_ext):
 
 def _coset_points(dom_ext):
     return jnp.asarray(_coset_points_np(dom_ext))
-
-
-def _eval_on_coset(dom, coeffs_plain):
-    """Evaluate a short plain-int poly on every coset point (Horner)."""
-    pts = _coset_points(dom)
-    acc = jnp.broadcast_to(jnp.asarray(FR.encode(coeffs_plain[-1])),
-                           (dom.n, F.LIMBS))
-    for c in reversed(coeffs_plain[:-1]):
-        acc = F.add(FR, F.mont_mul(FR, acc, pts),
-                    jnp.broadcast_to(jnp.asarray(FR.encode(c)), (dom.n, F.LIMBS)))
-    return acc

@@ -40,7 +40,14 @@ from halo2_aes_tpu.circuit.ir import (
 from halo2_aes_tpu.models import constants as C
 from halo2_aes_tpu.models import key_schedule as KS
 from halo2_aes_tpu.models import table as T
-from halo2_aes_tpu.models.chips import ChipSet, SELECTOR_NAMES, configure_chip_set
+from halo2_aes_tpu.models.chips import (
+    ChipSet,
+    DEC_SELECTOR_NAMES,
+    DecChipSet,
+    SELECTOR_NAMES,
+    configure_chip_set,
+    configure_dec_chip_set,
+)
 
 BLOCK_ROWS = C.AES_BLOCK_ROWS  # 1360
 
@@ -56,6 +63,14 @@ class AesConfig:
     n_sets: int = 1            # N advice-column sets ("horizontal" scaling)
     n_blocks: int = 1          # encryptions per proof
     expose_ciphertext: bool = False
+    tagged_ops: bool = False   # LEAN mode: fuse sbox/mul2/mul3 into ONE
+    #   tagged lookup per set (3 lookup arguments instead of the
+    #   reference's 5, src/aes128.rs:63-115) — same rows, same table,
+    #   one extra fixed tag column per set.  Fewer lookups = 3 fewer
+    #   commitments/NTTs/grand-products per set per proof and ~0.5 GB
+    #   less HBM per set at k=20; the proof shrinks by 96 bytes/set.
+    #   Default OFF: the 5-lookup shape is the byte-for-byte reference
+    #   parity configuration.
 
 
 # --------------------------------------------------------------------------
@@ -184,20 +199,30 @@ def configure(cfg: AesConfig):
     """Build the constraint system (role of reference src/aes128.rs:46-141)."""
     cs = ConstraintSystem()
     tables = tuple(cs.fixed_column(f"table_{n}") for n in ("tag", "in1", "in2", "out"))
+    sel_names = DEC_SELECTOR_NAMES if cfg.tagged_ops else SELECTOR_NAMES
     sel_ids = []
+    tag_ids = []
     for s in range(cfg.n_sets):
-        sel_ids.append(tuple(cs.fixed_column(f"{n}_{s}") for n in SELECTOR_NAMES))
+        sel_ids.append(tuple(cs.fixed_column(f"{n}_{s}") for n in sel_names))
+        if cfg.tagged_ops:
+            tag_ids.append(cs.fixed_column(f"op_tag_{s}"))
     q_eq_rcon = cs.fixed_column("q_eq_rcon")
     rcon_fixed = cs.fixed_column("rcon")
 
     chip_sets = []
     for s in range(cfg.n_sets):
         advice = tuple(cs.advice_column(f"a{j}_set{s}") for j in range(3))
-        chip_sets.append(ChipSet(s, advice, sel_ids[s]))
+        if cfg.tagged_ops:
+            chip_sets.append(DecChipSet(s, advice, sel_ids[s], tag_ids[s]))
+        else:
+            chip_sets.append(ChipSet(s, advice, sel_ids[s]))
     words = cs.advice_column("words")
 
     for chip in chip_sets:
-        configure_chip_set(cs, chip, tables)
+        if cfg.tagged_ops:
+            configure_dec_chip_set(cs, chip, tables, label="set")
+        else:
+            configure_chip_set(cs, chip, tables)
 
     # the circuit's only custom gate (reference src/key_schedule.rs:59-64)
     cs.create_gate(
@@ -225,6 +250,33 @@ def capacities(cfg: AesConfig, cs: ConstraintSystem):
     return [c0] + [cs_rest] * (cfg.n_sets - 1)
 
 
+def _fill_selectors(fixed, chip, sel_masks, base, rows, tagged: bool):
+    """Write one region's selector masks into the fixed columns.
+
+    Reference mode: one selector column per op (SELECTOR_NAMES order).
+    Tagged mode (AesConfig.tagged_ops): sbox/mul2/mul3 collapse into the
+    shared q_op selector plus the per-set op_tag value column."""
+    def m(name):
+        v = sel_masks.get(name)
+        if v is None:
+            return np.zeros(rows, np.uint32)
+        return v[:rows].astype(np.uint32)
+
+    sl = slice(base, base + rows)
+    if not tagged:
+        for name, col in zip(SELECTOR_NAMES, chip.selectors):
+            fixed[col, sl] |= m(name)
+        return
+    q_range, q_xor, q_op = chip.selectors
+    fixed[q_range, sl] |= m("q_u8_range_check")
+    fixed[q_xor, sl] |= m("q_u8_xor")
+    ms, m2, m3 = m("q_sbox"), m("q_mul_by_2"), m("q_mul_by_3")
+    fixed[q_op, sl] |= ms | m2 | m3
+    fixed[chip.op_tag, sl] += (int(T.Tag.SBOX) * ms
+                               + int(T.Tag.GFMUL2) * m2
+                               + int(T.Tag.GFMUL3) * m3)
+
+
 def compile_circuit(cfg: AesConfig) -> CompiledCircuit:
     cs, cols = configure(cfg)
     n = 1 << cfg.k
@@ -246,9 +298,7 @@ def compile_circuit(cfg: AesConfig) -> CompiledCircuit:
     # --- key schedule on set 0 + words column --------------------------------
     kst = KS.build_template()
     set0 = cols.chip_sets[0]
-    for name, sel_col in zip(SELECTOR_NAMES, set0.selectors):
-        if name in kst.sel:
-            fixed[sel_col, : KS.CHIP_ROWS] |= kst.sel[name].astype(np.uint32)
+    _fill_selectors(fixed, set0, kst.sel, 0, KS.CHIP_ROWS, cfg.tagged_ops)
     fixed[cols.q_eq_rcon, : KS.WORDS_ROWS] = kst.q_eq_rcon.astype(np.uint32)
     fixed[cols.rcon_fixed, : KS.WORDS_ROWS] = kst.rcon_fixed
     witness_map[list(set0.advice), : KS.CHIP_ROWS] = kst.a_pool
@@ -311,8 +361,8 @@ def compile_circuit(cfg: AesConfig) -> CompiledCircuit:
             is_none, -1, np.where(is_ksref, ks_idx, local_idx + gpool)
         ).astype(np.int32)
         witness_map[list(chip.advice), base : base + BLOCK_ROWS] = wm
-        for name, sel_col in zip(SELECTOR_NAMES, chip.selectors):
-            fixed[sel_col, base : base + BLOCK_ROWS] |= sel_masks[name].astype(np.uint32)
+        _fill_selectors(fixed, chip, sel_masks, base, BLOCK_ROWS,
+                        cfg.tagged_ops)
         # copy pairs
         adv = np.array(chip.advice, dtype=np.int32)
         ip = np.empty_like(intra)

@@ -103,26 +103,31 @@ class DecChipSet:
     op_tag: int            # fixed column holding the per-row table tag
 
 
-def configure_dec_chip_set(cs: ConstraintSystem, chip: DecChipSet, table_cols):
-    """Register the 3 lookup arguments of one decryption column set."""
+def configure_dec_chip_set(cs: ConstraintSystem, chip: DecChipSet, table_cols,
+                           label: str = "dec set"):
+    """Register the 3 lookup arguments of one tagged-op column set.
+
+    Used by the decryption circuit and by the encryption circuit's LEAN
+    mode (AesConfig.tagged_ops): one fused lookup whose tag comes from a
+    per-set fixed column replaces the reference's per-op lookups."""
     tag, in1, in2, out = table_cols
     a0, a1, a2 = chip.advice
     q_range, q_xor, q_op = (Ref(s) for s in chip.selectors)
 
     cs.add_lookup(
-        f"u8 range check (dec set {chip.index})",
+        f"u8 range check ({label} {chip.index})",
         [(Prod(q_range, Const(int(Tag.U8))), tag),
          (Prod(q_range, Ref(a0)), in1)],
     )
     cs.add_lookup(
-        f"u8 xor (dec set {chip.index})",
+        f"u8 xor ({label} {chip.index})",
         [(Prod(q_xor, Const(int(Tag.XOR))), tag),
          (Prod(q_xor, Ref(a0)), in1),
          (Prod(q_xor, Ref(a1)), in2),
          (Prod(q_xor, Ref(a2)), out)],
     )
     cs.add_lookup(
-        f"tagged table op (dec set {chip.index})",
+        f"tagged table op ({label} {chip.index})",
         [(Prod(q_op, Ref(chip.op_tag)), tag),
          (Prod(q_op, Ref(a0)), in1),
          (Prod(q_op, Ref(a1)), in2)],

@@ -1,7 +1,10 @@
 """Steady-state AES prove timing: compile-warm pipeline, then timed proves.
 
 Usage: python scripts/prove_steady.py [k] [blocks] [sets]
-           [--no-pallas-ntt] [--record-bench-config]
+           [--no-pallas-ntt] [--record-bench-config] [--tagged]
+
+--tagged selects the LEAN circuit (AesConfig.tagged_ops: one fused
+tagged-op lookup per set instead of the reference's per-op lookups).
 
 The fused four-step Pallas NTT is on by default (19x the XLA transform
 path at prove batch sizes); --no-pallas-ntt falls back to the XLA NTT
@@ -24,6 +27,7 @@ def main():
     blocks = int(args[1]) if len(args) > 1 else 4
     sets = int(args[2]) if len(args) > 2 else 1
     pallas_ntt = "--no-pallas-ntt" not in sys.argv
+    tagged = "--tagged" in sys.argv
 
     from halo2_aes_tpu.ops import field
 
@@ -48,7 +52,8 @@ def main():
     from halo2_aes_tpu.models.aes128 import AesConfig, compile_circuit
 
     t0 = time.perf_counter()
-    layout = compile_circuit(AesConfig(k=k, n_sets=sets, n_blocks=blocks))
+    layout = compile_circuit(AesConfig(k=k, n_sets=sets, n_blocks=blocks,
+                                       tagged_ops=tagged))
     srs = SRS.setup(k)
     pk = keygen_cached(layout, srs)
     print(f"setup+keygen {time.perf_counter()-t0:.1f}s", flush=True)
@@ -81,7 +86,7 @@ def main():
         os.makedirs("ptau", exist_ok=True)
         with open(os.path.join("ptau", "bench_config.json"), "w") as f:
             json.dump({"k": k, "n_sets": sets, "n_blocks": blocks,
-                       "verified": True,
+                       "tagged_ops": tagged, "verified": True,
                        "steady_blocks_per_sec": round(blocks / dt, 3)}, f)
         print("bench_config.json recorded", flush=True)
 

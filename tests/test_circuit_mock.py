@@ -197,3 +197,44 @@ def test_row_accounting():
     wm = layout.witness_map[a0]
     used = np.nonzero(wm >= 0)[0]
     assert used.min() == 0 and used.max() == 400 + 1360 - 1
+
+
+def test_tagged_ops_lean_circuit():
+    """LEAN mode (AesConfig.tagged_ops): sbox/mul2/mul3 fuse into ONE
+    tagged lookup per set — 3 lookup arguments instead of the
+    reference's 5 (src/aes128.rs:63-115) with identical row layout.
+    Satisfiability must hold on a spilled 2-set config, a corrupted op
+    output must be rejected, and FIPS-197 ciphertext bytes must land in
+    the instance rows exactly as in reference mode."""
+    cfg = aes128.AesConfig(k=17, n_sets=2, n_blocks=100, tagged_ops=True)
+    layout = aes128.compile_circuit(cfg)
+    names = [lk.name for lk in layout.cs.lookups]
+    assert names == ["u8 range check (set 0)", "u8 xor (set 0)",
+                     "tagged table op (set 0)", "u8 xor (set 1)",
+                     "tagged table op (set 1)"]
+    key = np.zeros(16, np.uint8)
+    pts = np.arange(1600, dtype=np.uint8).reshape(100, 16)
+    pool = witness.build_pool(jnp.asarray(key), jnp.asarray(pts))
+    vals = witness.assemble_values(layout, pool)
+    mock.assert_satisfied(layout, vals)
+
+    # corrupt one sbox output byte -> tagged-op lookup must fail
+    v = np.asarray(vals).copy()
+    cols = layout.meta["columns"]
+    base = int(layout.meta["block_starts"][0])
+    a1 = cols.chip_sets[0].advice[1]
+    v[a1, base + 32] ^= 1
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        mock.assert_satisfied(layout, jnp.asarray(v))
+
+    # same witness values as reference mode (row layout is shared; the
+    # column IDS differ — tagged mode inserts op_tag columns)
+    ref = aes128.compile_circuit(
+        aes128.AesConfig(k=17, n_sets=2, n_blocks=100))
+    vals_ref = witness.assemble_values(ref, pool)
+    a0 = cols.chip_sets[0].advice[0]
+    a0_ref = ref.meta["columns"].chip_sets[0].advice[0]
+    np.testing.assert_array_equal(np.asarray(vals[a0]),
+                                  np.asarray(vals_ref[a0_ref]))
