@@ -118,23 +118,29 @@ def build_assembly(perm_columns, n: int, copy_pairs: np.ndarray) -> PermutationA
     )
 
 
-def grand_products(k: int, usable: int, chunk_len: int, values, sigmas, ids,
+def grand_products(k: int, usable: int, chunk_len: int, all_fld,
+                   perm_columns, map_col, map_row, omega_pows, delta_pows,
                    beta_m, gamma_m, blinding):
-    """Build the chunked permutation grand-product columns.
+    """Build the chunked permutation grand-product columns, STREAMED
+    one perm column at a time.
 
-    values/sigmas/ids: FLAT (m*n, LIMBS) Montgomery (perm column i's
-    rows at [i*n, (i+1)*n)).  beta_m/gamma_m: (16,) Montgomery
-    challenges.  blinding: (chunks, blind_rows, LIMBS) random tails.
-    Returns FLAT (chunks*n, LIMBS); z_t[0] = z_{t-1}[usable] (chunk
-    linking), z_0[0] = 1.  All device tensors stay rank-2 (TPU
-    lane-padding economics)."""
+    all_fld: FLAT (cols*n, LIMBS) Montgomery evaluation-form columns
+    (the prover's resident column tensor); perm_columns: global ids of
+    the equality-enabled columns in delta-exponent order.  The sigma/id
+    label values for column i are rebuilt here from the int32 maps +
+    the omega/delta power tables, ONE column at a time: materializing
+    the full (m*n, LIMBS) num/den/ratio/sigma/id tensors at once (the
+    pre-r3 shape of this function) peaked >3.5 GB of transient HBM at
+    k=20 — a measured OOM.  Per-column streaming peaks ~7 column-sized
+    buffers; one batched inversion per CHUNK (not per column).
+
+    beta_m/gamma_m: (16,) Montgomery challenges.  blinding: (chunks,
+    blind_rows, LIMBS) random tails.  Returns FLAT (chunks*n, LIMBS);
+    z_t[0] = z_{t-1}[usable] (chunk linking), z_0[0] = 1.  All device
+    tensors stay rank-2 (TPU lane-padding economics)."""
     n = 1 << k
-    m = values.shape[0] // n
+    m = len(perm_columns)
     chunks = -(-m // chunk_len)
-    num = F.add(FR, values, F.add(FR, F.mont_mul(FR, beta_m, ids), gamma_m))
-    den = F.add(FR, values, F.add(FR, F.mont_mul(FR, beta_m, sigmas), gamma_m))
-    den_inv = F.batch_inv(FR, den)
-    ratio = F.mont_mul(FR, num, den_inv)        # (m*n, 16)
 
     one = jnp.asarray(FR.one_mont)
     active = jnp.arange(n) < usable
@@ -142,10 +148,20 @@ def grand_products(k: int, usable: int, chunk_len: int, values, sigmas, ids,
     init = one
     for t in range(chunks):
         cols = range(t * chunk_len, min((t + 1) * chunk_len, m))
-        row_ratio = None
+        num_r = den_r = None
         for i in cols:
-            r = ratio[i * n : (i + 1) * n]
-            row_ratio = r if row_ratio is None else F.mont_mul(FR, row_ratio, r)
+            v = all_fld[perm_columns[i] * n : (perm_columns[i] + 1) * n]
+            sig = F.mont_mul(FR,
+                             jnp.take(delta_pows, map_col[i], axis=0),
+                             jnp.take(omega_pows, map_row[i], axis=0))
+            idv = F.mont_mul(FR, delta_pows[i], omega_pows)
+            num_i = F.add(FR, v, F.add(FR, F.mont_mul(FR, beta_m, idv),
+                                       gamma_m))
+            den_i = F.add(FR, v, F.add(FR, F.mont_mul(FR, beta_m, sig),
+                                       gamma_m))
+            num_r = num_i if num_r is None else F.mont_mul(FR, num_r, num_i)
+            den_r = den_i if den_r is None else F.mont_mul(FR, den_r, den_i)
+        row_ratio = F.mont_mul(FR, num_r, F.batch_inv(FR, den_r))
         row_ratio = F.select(active, row_ratio,
                              jnp.broadcast_to(one, row_ratio.shape))
         # inclusive scan then shift: z[j] = init * prod_{l<j} ratio[l]

@@ -257,11 +257,22 @@ class _Phases:
         self.lookup_product = wrap(self._lookup_product)
         self.intt_nlk = wrap(
             lambda flat: self._ntt_many(flat, self.n_lk, inverse=True))
-        self.quotient_subcoset = wrap(self._quotient_subcoset)
-        self.ntt_stack_static = wrap(
+        # dyn_evals (arg 1) is freshly built per sub-coset: donating it
+        # lets the expression evaluation reuse the 1.7 GB buffer
+        self.quotient_subcoset = jax.jit(self._quotient_subcoset,
+                                         donate_argnums=(1,))
+        self.quotient_dyn_evals = jax.jit(
             lambda stack, sp: self._ntt_stack(
-                stack, len(self.q_static_keys), sp))
-        self.quotient_finish = wrap(self._quotient_finish)
+                stack, len(self.q_dyn_keys), sp))
+        # the freshly-concatenated static stack is single-use: donating
+        # it lets XLA alias the 1.7 GB input into the NTT workspace
+        # (k=20 quotient-phase HBM headroom)
+        self.ntt_stack_static = jax.jit(
+            lambda stack, sp: self._ntt_stack(
+                stack, len(self.q_static_keys), sp),
+            donate_argnums=(0,))
+        self.quotient_finish = jax.jit(self._quotient_finish,
+                                       donate_argnums=(0,))
         self.h_combine = wrap(self._h_combine)
         self.shplonk_f = wrap(self._shplonk_f)
         self.shplonk_l = wrap(self._shplonk_l)
@@ -418,26 +429,18 @@ class _Phases:
                        beta_m, gamma_m, z_blind):
         """Permutation grand products -> FLAT z_perm coeffs (chunks*n, 16).
 
-        The sigma/id label VALUES are rebuilt here in-graph from the
-        int32 permutation maps + the omega/delta power tables (their
-        transients die with the phase; keeping the two (m*n, 16) value
-        tensors resident on the pk cost ~1.2 GB at k=20)."""
-        n = self.n
+        The sigma/id label VALUES are rebuilt inside grand_products
+        from the int32 permutation maps + the omega/delta power tables,
+        ONE column at a time (keeping the two (m*n, 16) value tensors
+        resident on the pk cost ~1.2 GB at k=20, and materializing the
+        full num/den/ratio tensors at once OOMed — see
+        permutation.grand_products)."""
         m = len(self.cs.perm_columns)
         omega_pows, delta_pows = PERM._label_tables(self.k, m)
-        sigma_values = F.mont_mul(
-            FR,
-            jnp.take(delta_pows, map_col.reshape(-1), axis=0),
-            jnp.take(omega_pows, map_row.reshape(-1), axis=0))
-        id_values = F.mont_mul(
-            FR,
-            jnp.repeat(delta_pows, n, axis=0),
-            jnp.tile(omega_pows, (m, 1)))
-        perm_values = jnp.concatenate(
-            [all_fld[c * n : (c + 1) * n] for c in self.cs.perm_columns])
         z_perm = PERM.grand_products(
-            self.k, self.usable, self.chunk_len, perm_values,
-            sigma_values, id_values, beta_m, gamma_m, z_blind,
+            self.k, self.usable, self.chunk_len, all_fld,
+            list(self.cs.perm_columns), map_col, map_row,
+            omega_pows, delta_pows, beta_m, gamma_m, z_blind,
         )
         return self._ntt_many(z_perm, self.chunks, inverse=True)
 
@@ -505,14 +508,15 @@ class _Phases:
             return pk.l_active_coeffs
         raise KeyError(key)
 
-    def _quotient_subcoset(self, static_evals, dyn_stack, theta_m, beta_m,
+    def _quotient_subcoset(self, static_evals, dyn_evals, theta_m, beta_m,
                            gamma_m, y_m, shift_pows, zh_inv):
-        """One sub-coset's quotient values: NTT the per-proof stacked
-        polys onto the coset (static polys arrive pre-evaluated), fold
-        all constraint terms with y, divide by Z_H."""
+        """One sub-coset's quotient values: fold all constraint terms
+        with y, divide by Z_H.  Both poly stacks arrive PRE-EVALUATED
+        on the sub-coset (the dyn coset-NTT runs as its own executable,
+        quotient_dyn_evals, and its output buffer is donated here):
+        fusing the 28-column NTT into this executable pushed its
+        internal peak past free HBM at k=20 — a measured OOM."""
         n = self.n
-        dyn_evals = self._ntt_many(dyn_stack, len(self.q_dyn_keys),
-                                   inverse=False, shift_pows=shift_pows)
         by_key = {key: static_evals[i * n : (i + 1) * n]
                   for i, key in enumerate(self.q_static_keys)}
         by_key.update({key: dyn_evals[i * n : (i + 1) * n]
@@ -830,12 +834,28 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     _t0 = _time.perf_counter()
     _last = [_t0]
 
+    _memrep = os.environ.get("HALO2_PROVE_MEM") == "1"
+
     def _tick(name):
         if _timing:
             now = _time.perf_counter()
             print(f"[prove:{name}] +{now - _last[0]:.2f}s "
                   f"(t={now - _t0:.2f}s)", flush=True)
             _last[0] = now
+        if _memrep:
+            # Python-referenced device arrays only (transients inside a
+            # running executable are invisible here)
+            sizes = {}
+            for a in jax.live_arrays():
+                nb = a.size * a.dtype.itemsize
+                kk = f"{a.dtype}{list(a.shape)}"
+                c, t = sizes.get(kk, (0, 0))
+                sizes[kk] = (c + 1, t + nb)
+            tot = sum(t for _, t in sizes.values())
+            top = sorted(sizes.items(), key=lambda kv: -kv[1][1])[:6]
+            print(f"[mem:{name}] live {tot/2**30:.2f} GiB; top: "
+                  + ", ".join(f"{kk}x{c}={t/2**30:.2f}G"
+                              for kk, (c, t) in top), flush=True)
 
     def _sync_tick(name, value):
         """HALO2_PROVE_TIMING=2: force the async device queue to drain
@@ -1059,16 +1079,27 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
 
     st = ck.load("quotient") if ck else None
     if st is None:
+        if _large:
+            # the sub-coset evaluation storm peaks ~6 GB of transients;
+            # at k=20 the resident MSM window tables (2.75 GB) must make
+            # room — the piece commits below reload them from the cache
+            pk.srs.evict_tables()
         dyn_stack = jnp.concatenate(
             [jnp.asarray(coeffs_for(key)) for key in ph.q_dyn_keys])
         q_subs = []
         for s in range(ph.ratio):
             shift_np, zh_inv_np = _subcoset_tables_np(k, ph.ext_k, s)
+            shift_pows = jnp.asarray(shift_np)
+            dyn_evals = _drain(ph.quotient_dyn_evals(dyn_stack, shift_pows))
             q_subs.append(_drain(_sync_tick(f"quotient:sub{s}", ph.quotient_subcoset(
-                ph.static_subcoset_evals(s), dyn_stack,
+                ph.static_subcoset_evals(s), dyn_evals,
                 theta_m, beta_m, gamma_m, y_m,
-                jnp.asarray(shift_np), jnp.asarray(zh_inv_np)))))
+                shift_pows, jnp.asarray(zh_inv_np)))))
+        # dyn_stack (a 2.4 GB copy at k=20 n_sets=2) and the per-subcoset
+        # quotient accumulators are dead past this point
+        del dyn_stack
         pieces = _sync_tick("quotient:finish", ph.quotient_finish(q_subs))
+        del q_subs
         piece_pts = _commit_pts(ph, pieces, ph.d - 1)
         if _tlevel == "2":
             _tick("quotient:commits")   # _commit_pts read back = synced

@@ -67,6 +67,14 @@ class SRS:
             object.__setattr__(self, "_tag", tag)
         return tag
 
+    def evict_tables(self) -> None:
+        """Drop the resident MSM window tables (2.75 GiB at k=20).
+
+        The quotient phase's sub-coset NTT storm needs that HBM back;
+        the next commit reloads the tables lazily from the npz cache
+        (seconds of host->device transfer, paid once per eviction)."""
+        object.__setattr__(self, "_msm_tables", None)
+
     def warm_tables(self) -> None:
         """Load-or-build the MSM window tables NOW, while device memory
         is empty.  Building them mid-keygen (first commit) races the

@@ -86,9 +86,15 @@ def main():
     perm_vals = jnp.tile(a, (m, 1))
     z_blind = jnp.asarray(rng.integers(0, 1 << 16, (3, 5, F.LIMBS),
                                        dtype=np.uint32))
+    omega_pows, delta_pows = PERM._label_tables(K, m)
+    rows = jnp.broadcast_to(jnp.arange(1 << K, dtype=jnp.int32), (m, 1 << K))
+    cols = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
+                            (m, 1 << K))
     timeit("perm grand_products m=7 2^17",
-           lambda: PERM.grand_products(K, usable, 3, perm_vals, perm_vals,
-                                       perm_vals, beta, gamma, z_blind),
+           lambda: PERM.grand_products(K, usable, 3, perm_vals,
+                                       list(range(m)), cols, rows,
+                                       omega_pows, delta_pows,
+                                       beta, gamma, z_blind),
            reps=2)
 
 
