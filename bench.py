@@ -78,7 +78,8 @@ def _tick(msg: str) -> None:
     print(f"bench: {msg}", file=sys.stderr, flush=True)
 
 
-def bench_prove(k: int, blocks: int, sets: int, tagged: bool) -> dict:
+def bench_prove(k: int, blocks: int, sets: int, tagged: bool,
+                lookup_sort: str = "field") -> dict:
     # blocks = FULL circuit capacity for the config: prover cost is
     # domain-size-bound, so throughput is measured with the circuit full
     # (the reference driver likewise fills its circuit, src/main.rs:25)
@@ -118,10 +119,10 @@ def bench_prove(k: int, blocks: int, sets: int, tagged: bool) -> dict:
     pool = witness.build_pool(jnp.asarray(key), jnp.asarray(pts))
     values = jax.block_until_ready(witness.assemble_values(layout, pool))
 
-    proof = prove(pk, values)          # warm-up: compiles everything
+    proof = prove(pk, values, lookup_sort=lookup_sort)   # warm-up compile
     _tick(f"warm-up prove done [t={time.perf_counter()-t0:.0f}s]")
     t0 = time.perf_counter()
-    proof = prove(pk, values)
+    proof = prove(pk, values, lookup_sort=lookup_sort)
     dt = time.perf_counter() - t0
     _tick(f"timed prove {dt:.2f}s")
     verify(pk.vk, proof)
@@ -144,6 +145,7 @@ def bench_prove(k: int, blocks: int, sets: int, tagged: bool) -> dict:
         "blocks_per_proof": blocks,
         "n_sets": sets,
         "tagged_ops": tagged,
+        "lookup_sort": lookup_sort,
         "proof_bytes": len(proof),
         "field_muls_per_proof": muls["total"],
         "field_muls_per_sec": round(muls["total"] / dt),
@@ -246,7 +248,8 @@ def _child_main() -> None:
     cfg = _read_config()
     out = bench_prove(k=int(cfg["k"]), blocks=int(cfg["n_blocks"]),
                       sets=int(cfg["n_sets"]),
-                      tagged=bool(cfg.get("tagged_ops", False)))
+                      tagged=bool(cfg.get("tagged_ops", False)),
+                      lookup_sort=str(cfg.get("lookup_sort", "field")))
     _emit(out)
 
 
@@ -255,7 +258,9 @@ def _record_success(out: dict) -> None:
     try:
         cfg = {"k": int(out["metric"].split("_k")[-1].split("_")[0]),
                "n_sets": out["n_sets"], "n_blocks": out["blocks_per_proof"],
-               "tagged_ops": out["tagged_ops"], "verified": True,
+               "tagged_ops": out["tagged_ops"],
+               "lookup_sort": out.get("lookup_sort", "field"),
+               "verified": True,
                "steady_blocks_per_sec": out["value"],
                "prove_seconds": out["prove_seconds"],
                "proof_bytes": out["proof_bytes"],

@@ -61,6 +61,84 @@ def permuted_indices(packed_input, table_sorted, table_order, usable: int):
     return a_order, table_perm
 
 
+def permuted_indices_field(a_std, s_std, usable: int):
+    """Permuted pair construction ordered by CANONICAL FIELD VALUE —
+    halo2's permuted-pair ordering (lookup::permute_expression_pair
+    sorts the theta-compressed scalars via their canonical repr;
+    halo2curves Fr's Ord compares canonical integers).
+
+    ``a_std``, ``s_std``: (usable, LIMBS) STANDARD-form (non-Montgomery)
+    limbs of the compressed input / table columns.  Unlike the packed
+    path, the table order depends on theta, so everything sorts on
+    device inside the proof's jit.
+
+    Returns (a_order, table_perm) int32[usable] row permutations with
+    the same contract as ``permuted_indices``.
+    """
+    u = usable
+    HI = 2 * u          # out-of-range sentinel for scatter-min/drop
+
+    def keys(x):
+        x = x.astype(jnp.uint32)
+        return [(x[:, 2 * j + 1] << 16) | x[:, 2 * j] for j in range(8)]
+
+    comb = [jnp.concatenate([a, s])
+            for a, s in zip(keys(a_std[:u]), keys(s_std[:u]))]
+    # LSD radix over the 8 u32 key words via stable argsorts ->
+    # combined order by canonical integer value
+    order = jnp.argsort(comb[0], stable=True)
+    for j in range(1, 8):
+        order = jnp.take(order,
+                         jnp.argsort(jnp.take(comb[j], order), stable=True))
+    sk = [jnp.take(c, order) for c in comb]
+    is_input = jnp.take(jnp.arange(2 * u) < u, order)
+    neq = sk[0][1:] != sk[0][:-1]
+    for j in range(1, 8):
+        neq = neq | (sk[j][1:] != sk[j][:-1])
+    group_start = jnp.concatenate([jnp.ones(1, bool), neq])
+    gid = jnp.cumsum(group_start) - 1                      # (2u,)
+    pos = jnp.arange(2 * u)
+
+    # input subsequence in sorted order -> a_order (original input rows)
+    rank_in = jnp.cumsum(is_input) - 1
+    a_order = jnp.zeros(u, jnp.int32).at[
+        jnp.where(is_input, rank_in, HI)
+    ].set(order.astype(jnp.int32), mode="drop")
+
+    # per group: first input position and first table position
+    first_in_pos = jnp.full(2 * u, HI, jnp.int32).at[gid].min(
+        jnp.where(is_input, pos, HI).astype(jnp.int32))
+    first_tab_pos = jnp.full(2 * u, HI, jnp.int32).at[gid].min(
+        jnp.where(is_input, HI, pos).astype(jnp.int32))
+    first_flag = is_input & (pos == jnp.take(first_in_pos, gid))
+    # original table row of each group's first table entry (garbage when
+    # a dishonest input value has no table match — the argument rejects)
+    safe_tab_pos = jnp.clip(jnp.take(first_tab_pos, gid), 0, 2 * u - 1)
+    match_row = jnp.clip(jnp.take(order, safe_tab_pos) - u, 0, u - 1)
+
+    # scatter to input-rank space
+    firstA = jnp.zeros(u, bool).at[
+        jnp.where(is_input, rank_in, HI)].set(first_flag, mode="drop")
+    matchA = jnp.zeros(u, jnp.int32).at[
+        jnp.where(is_input, rank_in, HI)
+    ].set(match_row.astype(jnp.int32), mode="drop")
+
+    # unused table rows, compacted in sorted-value order
+    used = jnp.zeros(u, bool).at[
+        jnp.where(first_flag, match_row, HI)].set(True, mode="drop")
+    rank_tab = jnp.cumsum(~is_input) - 1
+    s_order = jnp.zeros(u, jnp.int32).at[
+        jnp.where(is_input, HI, rank_tab)
+    ].set((order - u).astype(jnp.int32), mode="drop")
+    rem = jnp.take(
+        s_order,
+        jnp.argsort(jnp.take(used, s_order).astype(jnp.int32), stable=True))
+    fill_rank = jnp.cumsum(~firstA) - 1
+    table_perm = jnp.where(firstA, matchA,
+                           jnp.take(rem, jnp.clip(fill_rank, 0)))
+    return a_order, table_perm
+
+
 def apply_permutation(field_col, perm, blinding):
     """Gather field rows by perm and append blinding tail -> (n, LIMBS)."""
     return jnp.concatenate([jnp.take(field_col, perm, axis=0), blinding], axis=0)

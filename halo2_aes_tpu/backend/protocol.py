@@ -87,7 +87,7 @@ def open_queries(cs: ConstraintSystem):
 def group_queries(plan):
     """Group the plan by poly_key preserving first-appearance order.
 
-    Returns list of (poly_key, [rot_tags]) — the SHPLONK v-power order."""
+    Returns list of (poly_key, [rot_tags])."""
     order = []
     sets = {}
     for key, rot in plan:
@@ -97,6 +97,28 @@ def group_queries(plan):
         if rot not in sets[key]:
             sets[key].append(rot)
     return [(key, sets[key]) for key in order]
+
+
+def rotation_sets(plan):
+    """Cluster polys by identical rotation SET — halo2 v0.3.0 SHPLONK's
+    ``construct_intermediate_sets`` grouping (kzg/multiopen/shplonk).
+
+    Returns list of (rot_tags, poly_keys): clusters ordered by the first
+    appearance of a member poly in the plan, members in plan order, and
+    the cluster's rotation list in its first member's order.  The
+    SHPLONK fold is two-level: a first challenge folds members WITHIN a
+    cluster, v folds ACROSS clusters (Horner direction — the first
+    member/cluster takes the highest power, matching halo2's
+    ``acc * challenge + term`` folds)."""
+    order = []
+    clusters = {}
+    for key, rots in group_queries(plan):
+        sig = frozenset(rots)
+        if sig not in clusters:
+            clusters[sig] = (list(rots), [])
+            order.append(sig)
+        clusters[sig][1].append(key)
+    return [clusters[sig] for sig in order]
 
 
 # --------------------------------------------------------------------------

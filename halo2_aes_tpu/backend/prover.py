@@ -24,8 +24,9 @@ Transcript order (self-consistent with verifier.py):
   vk digest, instance values | advice commits | theta | per lookup:
   A'/S' commits | beta, gamma | permutation z commits | lookup z
   commits | random-poly commit | y | d-1 h piece commits | x | evals in
-  protocol.open_queries order (h skipped) | v | SHPLONK h commit | u |
-  SHPLONK witness commit.
+  protocol.open_queries order (h skipped) | y2, v | SHPLONK h commit |
+  u | SHPLONK witness commit (halo2's ChallengeY/V/U sequence; GWC:
+  v | one witness commit per rotation point).
 """
 
 from __future__ import annotations
@@ -197,10 +198,13 @@ class _Phases:
     prove path the CPU-mesh dryrun and multi-chip deployments exercise.
     Small host-side polynomial fixups stay replicated."""
 
-    def __init__(self, pk: ProvingKey, mesh=None, mesh_axis: str = "dp"):
+    def __init__(self, pk: ProvingKey, mesh=None, mesh_axis: str = "dp",
+                 lookup_sort: str = "field"):
         self.pk = pk
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        assert lookup_sort in ("field", "packed"), lookup_sort
+        self.lookup_sort = lookup_sort
         vk = pk.vk
         cs = vk.cs
         layout = pk.layout
@@ -257,23 +261,33 @@ class _Phases:
         self.lookup_product = wrap(self._lookup_product)
         self.intt_nlk = wrap(
             lambda flat: self._ntt_many(flat, self.n_lk, inverse=True))
-        # dyn_evals (arg 1) is freshly built per sub-coset: donating it
-        # lets the expression evaluation reuse the 1.7 GB buffer
-        self.quotient_subcoset = jax.jit(self._quotient_subcoset,
-                                         donate_argnums=(1,))
+        # Donation audit (r3 bench tail warnings): jax only honors a
+        # donation when some OUTPUT has the identical aval — unmatched
+        # donations are dropped with a warning and reuse nothing.
+        # quotient_subcoset's (D*n,16) dyn_evals vs its (n,16) output
+        # never matched, so that donation was dead weight; removed.
+        self.quotient_subcoset = jax.jit(self._quotient_subcoset)
         self.quotient_dyn_evals = jax.jit(
             lambda stack, sp: self._ntt_stack(
                 stack, len(self.q_dyn_keys), sp))
-        # the freshly-concatenated static stack is single-use: donating
-        # it lets XLA alias the 1.7 GB input into the NTT workspace
-        # (k=20 quotient-phase HBM headroom)
+        # the freshly-concatenated static stack is single-use and its
+        # output aval matches ((S*n,16) -> (S*n,16)), so this donation
+        # DOES alias the 1.7 GB input into the NTT workspace
         self.ntt_stack_static = jax.jit(
             lambda stack, sp: self._ntt_stack(
                 stack, len(self.q_static_keys), sp),
             donate_argnums=(0,))
+        # takes the sub-coset values as ONE stacked (R*n,16) tensor so
+        # the donated input aval matches the ((d-1)*n,16) output when
+        # d-1 == R (the common case) and the buffer aliases in place
         self.quotient_finish = jax.jit(self._quotient_finish,
                                        donate_argnums=(0,))
         self.h_combine = wrap(self._h_combine)
+        # SHPLONK rotation-set clusters (halo2 construct_intermediate_sets
+        # grouping; static per constraint system)
+        self.shp_sets = PROTO.rotation_sets(PROTO.open_queries(cs))
+        self.shp_sizes = tuple(len(keys) for _, keys in self.shp_sets)
+        self.shplonk_fold = wrap(self._shplonk_fold)
         self.shplonk_f = wrap(self._shplonk_f)
         self.shplonk_l = wrap(self._shplonk_l)
         self.gwc_witness = wrap(self._gwc_witness)
@@ -402,11 +416,23 @@ class _Phases:
         for li, lk in enumerate(self.cs.lookups):
             a_fld = PROTO.compressed_input(Ctx, lk)
             s_fld = PROTO.compressed_table(Ctx, lk)
-            packed_a = _pack_u32([e.eval(_Int32Alg, col_i32)
-                                  for e, _ in lk.pairs])
-            t_sorted, t_order = _table_sort(self.layout, li, usable)
-            a_ord, s_ord = LK.permuted_indices(packed_a, t_sorted, t_order,
-                                               usable)
+            if self.lookup_sort == "field":
+                # halo2's permuted-pair ordering: sort by the CANONICAL
+                # field value of the theta-compressed scalars (halo2
+                # lookup::permute_expression_pair + Fr's Ord).  theta is
+                # a per-proof challenge, so the sort runs on device.
+                a_ord, s_ord = LK.permuted_indices_field(
+                    F.from_mont(FR, a_fld[:usable]),
+                    F.from_mont(FR, s_fld[:usable]), usable)
+            else:
+                # fast path: sort on packed byte tuples (requires
+                # byte-ranged table columns; different proof bytes, same
+                # argument — any valid grouping order verifies)
+                packed_a = _pack_u32([e.eval(_Int32Alg, col_i32)
+                                      for e, _ in lk.pairs])
+                t_sorted, t_order = _table_sort(self.layout, li, usable)
+                a_ord, s_ord = LK.permuted_indices(packed_a, t_sorted,
+                                                   t_order, usable)
             a_primes.append(LK.apply_permutation(a_fld[:usable], a_ord,
                                                  bl_a[li]))
             s_primes.append(LK.apply_permutation(s_fld[:usable], s_ord,
@@ -557,15 +583,19 @@ class _Phases:
                 FR, F.mont_mul(FR, acc, y_m), term)
         return F.mont_mul(FR, acc, zh_inv)
 
-    def _quotient_finish(self, q_subs):
+    def _quotient_finish(self, q_flat):
         """Interleave sub-coset values back to the extended coset order,
         INTT, and slice the d-1 live pieces (returned FLAT
-        ((d-1)*n, 16); piece j at rows [j*n, (j+1)*n))."""
+        ((d-1)*n, 16); piece j at rows [j*n, (j+1)*n)).
+
+        q_flat: stacked (R*n, 16) sub-coset values (sub-coset s at rows
+        [s*n, (s+1)*n)) — one tensor so the donated input aval matches
+        the output when d-1 == R and jax can alias the buffers."""
         n = self.n
         R = self.ratio
         q_ext = jnp.zeros((self.dom_ext.n, F.LIMBS), jnp.uint32)
-        for sidx, q_s in enumerate(q_subs):
-            q_ext = q_ext.at[sidx::R].set(q_s)
+        for sidx in range(R):
+            q_ext = q_ext.at[sidx::R].set(q_flat[sidx * n : (sidx + 1) * n])
         h = P.coset_interp(self.dom_ext, q_ext)
         return h[: (self.d - 1) * n]
 
@@ -581,12 +611,31 @@ class _Phases:
 
     # -- phase 6: SHPLONK -------------------------------------------------
 
-    def _shplonk_f(self, poly_flat, corr, zcs):
-        """f(X) = sum_i v^i Z_{T\\S_i}(X) (p_i(X) - r_i(X)).
+    def _shplonk_fold(self, members_flat, weights):
+        """Per-cluster weighted member fold (halo2's within-rotation-set
+        challenge fold): members_flat (M*n, 16) FLAT polys in cluster
+        order (sizes static, self.shp_sizes), weights (M, 16) Montgomery
+        -> (K*n, 16) folded cluster polys."""
+        n = self.n
+        outs = []
+        idx = 0
+        for sz in self.shp_sizes:
+            acc = None
+            for _ in range(sz):
+                t = F.mont_mul(FR, members_flat[idx * n : (idx + 1) * n],
+                               weights[idx])
+                acc = t if acc is None else F.add(FR, acc, t)
+                idx += 1
+            outs.append(acc)
+        return jnp.concatenate(outs)
 
-        poly_flat (G*n, 16) FLAT group polys; corr (G, Dr, 16): r_i
-        coefficient corrections (Montgomery, zero-padded); zcs
-        (G, D, 16): v^i-scaled Z_{T\\S_i} coefficients by degree.
+    def _shplonk_f(self, poly_flat, corr, zcs):
+        """f(X) = sum_k v_k Z_{T\\S_k}(X) (p_k(X) - r_k(X)) over the
+        rotation-set clusters (p_k, r_k already challenge-folded).
+
+        poly_flat (K*n, 16) FLAT folded cluster polys; corr (K, Dr, 16):
+        r_k coefficient corrections (Montgomery, zero-padded); zcs
+        (K, D, 16): v-power-scaled Z_{T\\S_k} coefficients by degree.
         Returns (n + D - 1, 16)."""
         n = self.n
         G = corr.shape[0]
@@ -668,14 +717,15 @@ class _Phases:
             self.dom, F.mont_mul(FR, l_ev, F.batch_inv(FR, den)))
 
 
-def _get_phases(pk: ProvingKey, mesh=None, mesh_axis: str = "dp") -> _Phases:
+def _get_phases(pk: ProvingKey, mesh=None, mesh_axis: str = "dp",
+                lookup_sort: str = "field") -> _Phases:
     cache = getattr(pk, "_phases", None)
     if cache is None:
         cache = {}
         pk._phases = cache
-    key = (id(mesh), mesh_axis)
+    key = (id(mesh), mesh_axis, lookup_sort)
     if key not in cache:
-        cache[key] = _Phases(pk, mesh, mesh_axis)
+        cache[key] = _Phases(pk, mesh, mesh_axis, lookup_sort)
     return cache[key]
 
 
@@ -809,6 +859,7 @@ def _commit_write_many(tr, ph, flat, count):
 def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
           mesh=None, mesh_axis: str = "dp",
           multiopen: str = "shplonk",
+          lookup_sort: str = "field",
           checkpoint_dir: str | None = None) -> bytes:
     """values_u32: (num_columns, n) uint32 merged column matrix (from
     circuit.witness.assemble_values) — advice entries are read from it,
@@ -822,6 +873,12 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     ``mesh``/``mesh_axis``: run the heavy transforms/commitments
     sharded over a jax Mesh (distributed four-step NTT + collective
     MSM; see _Phases docstring).
+
+    ``lookup_sort``: permuted-pair ordering. "field" (default) sorts by
+    canonical field value of the theta-compressed scalars — halo2
+    v0.3.0's ordering (lookup::permute_expression_pair). "packed" sorts
+    on packed byte tuples (cheaper host-precomputable table sort;
+    different proof bytes, same argument soundness).
 
     ``checkpoint_dir``: persist each heavy phase's outputs there and
     resume a crashed/OOM-killed prove at the first incomplete phase
@@ -879,15 +936,18 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             np.asarray(jax.tree_util.tree_leaves(value)[0])[:1]
         return value
 
-    ph = _get_phases(pk, mesh, mesh_axis)
+    ph = _get_phases(pk, mesh, mesh_axis, lookup_sort)
     vk, cs, layout = pk.vk, pk.vk.cs, pk.layout
     k, n, usable = ph.k, ph.n, ph.usable
     bf = ph.bf
     rng = None if seed is None else np.random.default_rng(seed)
     tr = TranscriptWriter()
 
-    for lk in cs.lookups:
-        _check_lookup_packable(layout, lk)
+    if lookup_sort == "packed":
+        # the packed fast path needs byte-ranged table columns; the
+        # field path is fully general
+        for lk in cs.lookups:
+            _check_lookup_packable(layout, lk)
 
     tr.common_scalar(vk.digest)
     inst_ids = ph.inst_ids
@@ -917,7 +977,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         ck = RES.ProveCheckpoint(
             checkpoint_dir,
             RES.prove_key_material(vk.digest, values_np, instances, seed,
-                                   multiopen))
+                                   multiopen, lookup_sort))
 
         def _restore_rng(state):
             RES.restore_rng(rng, state)
@@ -1098,8 +1158,10 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         # dyn_stack (a 2.4 GB copy at k=20 n_sets=2) and the per-subcoset
         # quotient accumulators are dead past this point
         del dyn_stack
-        pieces = _sync_tick("quotient:finish", ph.quotient_finish(q_subs))
+        q_flat = jnp.concatenate(q_subs)
         del q_subs
+        pieces = _sync_tick("quotient:finish", ph.quotient_finish(q_flat))
+        del q_flat
         piece_pts = _commit_pts(ph, pieces, ph.d - 1)
         if _tlevel == "2":
             _tick("quotient:commits")   # _commit_pts read back = synced
@@ -1214,42 +1276,63 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         return tr.finalize()
 
     assert multiopen == "shplonk", multiopen
-    # ---- SHPLONK multiopen ----------------------------------------------------
+    # ---- SHPLONK multiopen (halo2 rotation-set grouping) -----------------------
+    # halo2 v0.3.0 kzg/multiopen/shplonk: polys cluster by identical
+    # rotation SET (construct_intermediate_sets); a first challenge (y2)
+    # folds members WITHIN a cluster, v folds ACROSS clusters, u is the
+    # second opening point.  Squeeze/write order y2 | v | H commit | u |
+    # W commit matches halo2's (ChallengeY, ChallengeV, h, ChallengeU,
+    # h') sequence; fold direction is Horner (first member/cluster takes
+    # the highest power), matching halo2's `acc * challenge + term`.
+    y2 = tr.squeeze_challenge()
     v = tr.squeeze_challenge()
-    groups = PROTO.group_queries(plan)
+    sets_ = ph.shp_sets
+    K = len(sets_)
     t_rots = []
-    for _, rots in groups:
+    for rots, _ in sets_:
         for r in rots:
             if r not in t_rots:
                 t_rots.append(r)
     t_points = [rot_point(r) for r in t_rots]
 
-    # per-group host scalars: r_i interpolations and Z_{T\S_i} coefficients
-    G = len(groups)
-    max_zc = max(len(t_points) - len(rots) + 1 for _, rots in groups)
-    max_corr = max(len(rots) for _, rots in groups)
-    corr_np = np.zeros((G, max_corr, F.LIMBS), np.uint32)
-    zcs_np = np.zeros((G, max_zc, F.LIMBS), np.uint32)
+    # per-cluster host scalars: folded r_k interpolations and
+    # v-power-scaled Z_{T\S_k} coefficients; per-member y2 weights
+    members = [key for _, keys in sets_ for key in keys]
+    w_np = np.zeros((len(members), F.LIMBS), np.uint32)
+    max_zc = max(len(t_points) - len(rots) + 1 for rots, _ in sets_)
+    max_corr = max(len(rots) for rots, _ in sets_)
+    corr_np = np.zeros((K, max_corr, F.LIMBS), np.uint32)
+    zcs_np = np.zeros((K, max_zc, F.LIMBS), np.uint32)
     r_at = {}
-    v_h = 0
-    v_pow = 1
-    for gi, (key, rots) in enumerate(groups):
+    W_h = 0          # total (v, y2) weight of the h poly, for the
+    mi = 0           # staggered piece-blind closed-form corrections
+    for gi, (rots, keys) in enumerate(sets_):
+        vpw = pow(v, K - 1 - gi, FR.modulus)
         pts = [rot_point(r) for r in rots]
-        evs = [evals[(key, r)] for r in rots]
-        r_coeffs = P.lagrange_interp_host(pts, evs)
+        ev_fold = [0] * len(rots)
+        for i, key in enumerate(keys):
+            w = pow(y2, len(keys) - 1 - i, FR.modulus)
+            w_np[mi] = F.int_to_limbs(FR.to_mont_host(w))
+            mi += 1
+            for j, r in enumerate(rots):
+                ev_fold[j] = (ev_fold[j] + w * evals[(key, r)]) % FR.modulus
+            if key == ("h",):
+                # the closed forms below assume h's cluster opens only
+                # at x (rot 0) — true for this protocol's plan
+                assert rots == [0], rots
+                W_h = vpw * w % FR.modulus
+        r_coeffs = P.lagrange_interp_host(pts, ev_fold)
         corr_np[gi, : len(r_coeffs)] = F.ints_to_limbs_fast(
             [FR.to_mont_host(c) for c in r_coeffs])
         z_rest = P.vanishing_poly_coeffs(
             [p_ for p_ in t_points if p_ not in pts])
         zcs_np[gi, : len(z_rest)] = F.ints_to_limbs_fast(
-            [FR.to_mont_host(zc * v_pow % FR.modulus) for zc in z_rest])
-        r_at[key] = (pts, evs)
-        if key == ("h",):
-            v_h = v_pow
-        v_pow = v_pow * v % FR.modulus
+            [FR.to_mont_host(zc * vpw % FR.modulus) for zc in z_rest])
+        r_at[gi] = (pts, ev_fold)
 
     _tick("shplonk:host-setup")
-    poly_flat = jnp.concatenate([poly_coeffs(key) for key, _ in groups])
+    members_flat = jnp.concatenate([poly_coeffs(key) for key in members])
+    poly_flat = ph.shplonk_fold(members_flat, jnp.asarray(w_np))
     f_acc = ph.shplonk_f(poly_flat, jnp.asarray(corr_np),
                          jnp.asarray(zcs_np))
     _tick("shplonk:f")
@@ -1258,35 +1341,37 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         [FR.to_mont_host(c) for c in P.vanishing_poly_coeffs(t_points)]))
     h_shp = ph.shplonk_h(f_acc, zt_coeffs_m)
     if cn:
-        # piece-blind correction: f gains v_h·cn·(X^n − x^n)·Z_{T∖S_h}(X),
+        # piece-blind correction: f gains W_h·cn·(X^n − x^n)·Z_{T∖S_h}(X),
         # whose quotient by Z_T = Z_{T∖S_h}·(X − x) is the closed form
-        # v_h·cn·(X^n − x^n)/(X − x) = v_h·cn·Σ_i x^{n−1−i} X^i
+        # W_h·cn·(X^n − x^n)/(X − x) = W_h·cn·Σ_i x^{n−1−i} X^i
         h_shp = ph.hshp_blind_fix(
             h_shp, jnp.asarray(FR.encode(x)),
-            jnp.asarray(FR.encode(v_h * cn % FR.modulus)))
+            jnp.asarray(FR.encode(W_h * cn % FR.modulus)))
     _tick("shplonk:h")
     _commit_write(tr, ph, h_shp)
     _tick("shplonk:W-commit")
 
     u = tr.squeeze_challenge()
     zt_u = P.eval_host(P.vanishing_poly_coeffs(t_points), u)
-    svals_np = np.zeros((G, F.LIMBS), np.uint32)
+    svals_np = np.zeros((K, F.LIMBS), np.uint32)
     const_corr = 0
-    v_pow = 1
-    for gi, (key, rots) in enumerate(groups):
-        pts, evs = r_at[key]
-        s = v_pow * P.eval_host(
+    for gi, (rots, keys) in enumerate(sets_):
+        vpw = pow(v, K - 1 - gi, FR.modulus)
+        pts, ev_fold = r_at[gi]
+        s = vpw * P.eval_host(
             P.vanishing_poly_coeffs([p_ for p_ in t_points if p_ not in pts]),
             u) % FR.modulus
         svals_np[gi] = F.int_to_limbs(FR.to_mont_host(s))
-        r_u = P.eval_host(P.lagrange_interp_host(pts, evs), u)
+        r_u = P.eval_host(P.lagrange_interp_host(pts, ev_fold), u)
         const_corr = (const_corr + s * r_u) % FR.modulus
-        if key == ("h",) and cn:
-            # p'_h − r_h(u) carries the on-coset constant s·cn·(g^n − x^n);
-            # const_corr is subtracted at coeff 0, so fold it in negated
-            const_corr = (const_corr - s * cn % FR.modulus * (gn - xn)
-                          ) % FR.modulus
-        v_pow = v_pow * v % FR.modulus
+        if ("h",) in keys and cn:
+            # p'_fold − r_fold(u) carries the on-coset constant
+            # s·y2w·cn·(g^n − x^n); const_corr is subtracted at coeff 0,
+            # so fold it in negated
+            y2w = pow(y2, len(keys) - 1 - keys.index(("h",)), FR.modulus)
+            const_corr = (const_corr
+                          - s * y2w % FR.modulus * cn % FR.modulus
+                          * (gn - xn)) % FR.modulus
 
     q_w = ph.shplonk_l(
         poly_flat, jnp.asarray(svals_np), h_shp,

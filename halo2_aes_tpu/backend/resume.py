@@ -97,7 +97,8 @@ def restore_rng(rng, state) -> None:
 
 
 def prove_key_material(vk_digest: int, values_np: np.ndarray, instances,
-                       seed, multiopen: str) -> bytes:
+                       seed, multiopen: str,
+                       lookup_sort: str = "field") -> bytes:
     h = hashlib.blake2b(b"halo2_aes_tpu prove ckpt v1", digest_size=32)
     h.update(int(vk_digest).to_bytes(32, "little"))
     h.update(np.ascontiguousarray(values_np).tobytes())
@@ -107,4 +108,5 @@ def prove_key_material(vk_digest: int, values_np: np.ndarray, instances,
             h.update(int(v).to_bytes(8, "little"))
     h.update(repr(seed).encode())
     h.update(multiopen.encode())
+    h.update(lookup_sort.encode())
     return h.digest()

@@ -230,7 +230,11 @@ def verify_pairs(vk: VerifyingKey, proof: bytes, instances=None,
         return _gwc_pairs(vk, tr, plan, comms, evals, rot_point)
     assert multiopen == "shplonk", multiopen
 
-    # ---- SHPLONK check --------------------------------------------------------
+    # ---- SHPLONK check (halo2 rotation-set grouping) --------------------------
+    # Mirrors the prover: polys cluster by identical rotation set, y2
+    # folds members within a cluster, v folds across clusters (Horner
+    # direction: first member/cluster takes the highest power).
+    y2 = tr.squeeze_challenge()
     v = tr.squeeze_challenge()
     try:
         w_h = tr.read_point()
@@ -240,9 +244,10 @@ def verify_pairs(vk: VerifyingKey, proof: bytes, instances=None,
     except ValueError as e:
         raise VerifyError(str(e)) from e
 
-    groups = PROTO.group_queries(plan)
+    sets_ = PROTO.rotation_sets(plan)
+    K = len(sets_)
     t_rots = []
-    for _, rots in groups:
+    for rots, _ in sets_:
         for r_ in rots:
             if r_ not in t_rots:
                 t_rots.append(r_)
@@ -251,18 +256,21 @@ def verify_pairs(vk: VerifyingKey, proof: bytes, instances=None,
 
     msm_pts, msm_scs = [w_h], [-zt_u % R]
     const_corr = 0
-    v_pow = 1
-    for key, rots in groups:
+    for gi, (rots, keys) in enumerate(sets_):
+        vpw = pow(v, K - 1 - gi, R)
         pts = [rot_point(r_) for r_ in rots]
-        evs = [evals[(key, r_)] for r_ in rots]
-        s = v_pow * P.eval_host(
+        s = vpw * P.eval_host(
             P.vanishing_poly_coeffs([p for p in t_points if p not in pts]), u
         ) % R
-        msm_pts.append(comms[key])
-        msm_scs.append(s)
-        r_u = P.eval_host(P.lagrange_interp_host(pts, evs), u)
+        ev_fold = [0] * len(rots)
+        for i, key in enumerate(keys):
+            w = pow(y2, len(keys) - 1 - i, R)
+            msm_pts.append(comms[key])
+            msm_scs.append(s * w % R)
+            for j, r_ in enumerate(rots):
+                ev_fold[j] = (ev_fold[j] + w * evals[(key, r_)]) % R
+        r_u = P.eval_host(P.lagrange_interp_host(pts, ev_fold), u)
         const_corr = (const_corr + s * r_u) % R
-        v_pow = v_pow * v % R
     msm_pts += [(CV.G1_X, CV.G1_Y), w_q]
     msm_scs += [-const_corr % R, u]
     lhs = CV.host_msm(msm_pts, msm_scs)

@@ -129,9 +129,11 @@ def field_muls(layout: CompiledCircuit, multiopen: str = "shplonk") -> dict:
     # multiopen
     G = len({key for key, _ in plan})
     if multiopen == "shplonk":
-        mo = G * 3 * n                                   # f fold
+        K = len(PROTO.rotation_sets(plan))
+        mo = G * n                                       # y2 member fold
+        mo += K * 4 * n                                  # v-scaled Z_{T\S_k} f accumulate
         mo += ntt(2 * n, 2) + 2 * 2 * n + 3 * (2 * n)    # f/Z_T on 2n coset
-        mo += ntt(n, 2) + 2 * n + 3 * n                  # L/(X-u) on n coset
+        mo += ntt(n, 2) + K * n + 3 * n                  # L/(X-u) on n coset
         mo += msm(2)
     else:
         rots = len({rot for _, rot in plan})

@@ -2,9 +2,15 @@
 
 Usage: python scripts/prove_steady.py [k] [blocks] [sets]
            [--no-pallas-ntt] [--record-bench-config] [--tagged]
+           [--lookup-sort=field|packed]
 
 --tagged selects the LEAN circuit (AesConfig.tagged_ops: one fused
 tagged-op lookup per set instead of the reference's per-op lookups).
+
+--lookup-sort picks the permuted-pair ordering: "field" (default;
+halo2's canonical-field-value sort, on-device radix argsort) or
+"packed" (host-precomputed byte-tuple sort — cheaper, different proof
+bytes, same argument).
 
 The fused four-step Pallas NTT is on by default (19x the XLA transform
 path at prove batch sizes); --no-pallas-ntt falls back to the XLA NTT
@@ -21,7 +27,8 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-KNOWN_FLAGS = {"--no-pallas-ntt", "--record-bench-config", "--tagged"}
+KNOWN_FLAGS = {"--no-pallas-ntt", "--record-bench-config", "--tagged",
+               "--lookup-sort=field", "--lookup-sort=packed"}
 
 
 def main():
@@ -36,6 +43,8 @@ def main():
     sets = int(args[2]) if len(args) > 2 else 1
     pallas_ntt = "--no-pallas-ntt" not in sys.argv
     tagged = "--tagged" in sys.argv
+    lookup_sort = ("packed" if "--lookup-sort=packed" in sys.argv
+                   else "field")
 
     from halo2_aes_tpu.ops import field
 
@@ -73,14 +82,14 @@ def main():
     values = jax.block_until_ready(witness.assemble_values(layout, pool))
 
     t0 = time.perf_counter()
-    proof = prove(pk, values, seed=1)
+    proof = prove(pk, values, seed=1, lookup_sort=lookup_sort)
     print(f"prove#1 (cold) {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    proof = prove(pk, values, seed=2)
+    proof = prove(pk, values, seed=2, lookup_sort=lookup_sort)
     dt = time.perf_counter() - t0
     print(f"prove#2 (warm) {dt:.1f}s = {blocks/dt:.3f} blocks/s", flush=True)
     t0 = time.perf_counter()
-    proof = prove(pk, values, seed=3)
+    proof = prove(pk, values, seed=3, lookup_sort=lookup_sort)
     dt = time.perf_counter() - t0
     print(f"prove#3 (steady) {dt:.1f}s = {blocks/dt:.3f} blocks/s", flush=True)
     t0 = time.perf_counter()
@@ -97,7 +106,8 @@ def main():
             "bench_config.json"
         with open(path, "w") as f:
             json.dump({"k": k, "n_sets": sets, "n_blocks": blocks,
-                       "tagged_ops": tagged, "verified": True,
+                       "tagged_ops": tagged, "lookup_sort": lookup_sort,
+                       "verified": True,
                        "steady_blocks_per_sec": round(blocks / dt, 3),
                        "prove_seconds": round(dt, 2),
                        "proof_bytes": len(proof),
