@@ -5,11 +5,13 @@ src/lib.rs:10-13, Cargo.toml:6-11: PSE halo2 vs a HyperPlonk fork behind
 a feature flag): circuit code is written once against a small backend
 interface; the backend is selected at runtime by name.
 
-Currently registered: "kzg-shplonk" (the default, backend/prover.py)
-and "kzg-gwc" (same pipeline, plonk-style per-point multiopen) — two
-backends sharing the facade, mirroring the reference's halo2-pse /
-hyperplonk switch.  A multilinear/sumcheck backend can register here
-without touching any circuit or model code.
+Currently registered: "kzg-shplonk" (the default, backend/prover.py),
+"kzg-gwc" (same pipeline, plonk-style per-point multiopen), and "ipa"
+(backend/ipa.py: a genuinely different proving SYSTEM — transparent
+hash-derived basis, no trusted setup, no pairings, log-n recursive
+opening argument), mirroring the reference's halo2-pse / hyperplonk
+switch.  A multilinear/sumcheck backend can register here without
+touching any circuit or model code.
 """
 
 from __future__ import annotations
@@ -48,6 +50,18 @@ def get_backend(name: str = "kzg-shplonk") -> Backend:
                 name, S.setup, KG.keygen_cached,
                 functools.partial(PV.prove, multiopen=engine),
                 functools.partial(VF.verify, multiopen=engine),
+            ))
+        elif name == "ipa":
+            import functools
+
+            from halo2_aes_tpu.backend import ipa as IPA
+            from halo2_aes_tpu.backend import keygen as KG
+            from halo2_aes_tpu.backend import prover as PV
+
+            register(Backend(
+                name, IPA.setup, KG.keygen_cached,
+                functools.partial(PV.prove, multiopen="ipa"),
+                IPA.verify,
             ))
         else:
             raise KeyError(

@@ -290,6 +290,7 @@ class _Phases:
         self.shplonk_fold = wrap(self._shplonk_fold)
         self.shplonk_f = wrap(self._shplonk_f)
         self.shplonk_l = wrap(self._shplonk_l)
+        self.ipa_l = wrap(self._ipa_l)
         self.gwc_witness = wrap(self._gwc_witness)
         self.hshp_blind_fix = wrap(self._hshp_blind_fix)
         self.shplonk_h = wrap(self._shplonk_h)
@@ -698,6 +699,18 @@ class _Phases:
                                          (dom1.n, F.LIMBS)))
         return P.coset_interp(
             dom1, F.mont_mul(FR, f_ev, F.batch_inv(FR, acc)))[: self.n]
+
+    def _ipa_l(self, poly_flat, svals, h_shp, neg_zt_u, const_corr):
+        """The SHPLONK residual L(X) = -Z_T(u)·h + Σ_g s_g·p_g − const
+        WITHOUT the (X−u) division: the IPA backend opens L at u
+        directly (L(u) = 0 by construction) instead of committing the
+        KZG quotient witness (backend/ipa.py)."""
+        n = self.n
+        acc = F.mont_mul(FR, h_shp, neg_zt_u)
+        for g in range(svals.shape[0]):
+            acc = F.add(FR, acc, F.mont_mul(
+                FR, poly_flat[g * n : (g + 1) * n], svals[g]))
+        return acc.at[0].set(F.sub(FR, acc[0], const_corr))
 
     def _shplonk_l(self, poly_flat, svals, h_shp, neg_zt_u, const_corr,
                    u_m):
@@ -1275,8 +1288,10 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             ck.clear()
         return tr.finalize()
 
-    assert multiopen == "shplonk", multiopen
+    assert multiopen in ("shplonk", "ipa"), multiopen
     # ---- SHPLONK multiopen (halo2 rotation-set grouping) -----------------------
+    # The "ipa" backend shares this entire reduction (it is PCS-agnostic
+    # polynomial algebra) and diverges only at the final opening below.
     # halo2 v0.3.0 kzg/multiopen/shplonk: polys cluster by identical
     # rotation SET (construct_intermediate_sets); a first challenge (y2)
     # folds members WITHIN a cluster, v folds ACROSS clusters, u is the
@@ -1372,6 +1387,21 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             const_corr = (const_corr
                           - s * y2w % FR.modulus * cn % FR.modulus
                           * (gn - xn)) % FR.modulus
+
+    if multiopen == "ipa":
+        from halo2_aes_tpu.backend import ipa as IPA
+
+        # a transparent basis has no g1_extra, so the stagger-blind
+        # corrections (cn) are structurally zero on this path
+        assert cn == 0, "ipa prove with KZG-blinded quotient pieces"
+        l_poly = ph.ipa_l(poly_flat, jnp.asarray(svals_np), h_shp,
+                          jnp.asarray(FR.encode(FR.modulus - zt_u)),
+                          jnp.asarray(FR.encode(const_corr)))
+        IPA.open_claim(pk.srs, tr, l_poly, u)
+        _tick("ipa:open")
+        if ck:
+            ck.clear()
+        return tr.finalize()
 
     q_w = ph.shplonk_l(
         poly_flat, jnp.asarray(svals_np), h_shp,

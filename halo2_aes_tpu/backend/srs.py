@@ -48,6 +48,8 @@ class SRS:
     #   pieces (backend/prover.py) so no commitment is ever the identity.
     #   None for ceremony .srs files (halo2 format carries exactly n powers);
     #   the prover then skips the piece blinds.
+    u_pt: tuple | None = None      # IPA folding point U (plain affine ints);
+    #   set only by backend/ipa.py's transparent setup — None for KZG.
 
     @property
     def n(self) -> int:

@@ -99,6 +99,31 @@ def verify_pairs(vk: VerifyingKey, proof: bytes, instances=None,
     """Transcript replay + all scalar checks; returns the two
     (G1, G2) pairs whose pairing product must be one (deferred so
     verify_batch can fold many proofs into a single product)."""
+    tr, plan, comms, evals, rot_point = _replay_common(vk, proof, instances)
+    if multiopen == "gwc":
+        return _gwc_pairs(vk, tr, plan, comms, evals, rot_point)
+    assert multiopen == "shplonk", multiopen
+
+    msm_pts, msm_scs, const_corr, u = _shplonk_lincomb(
+        tr, plan, comms, evals, rot_point)
+    try:
+        w_q = tr.read_point()
+        tr.assert_consumed()
+    except ValueError as e:
+        raise VerifyError(str(e)) from e
+    msm_pts = list(msm_pts) + [(CV.G1_X, CV.G1_Y), w_q]
+    msm_scs = list(msm_scs) + [-const_corr % R, u]
+    lhs = CV.host_msm(msm_pts, msm_scs)
+    neg_wq = None if w_q is None else (w_q[0], -w_q[1] % PR.Q)
+    return [(lhs, vk.g2), (neg_wq, vk.s_g2)]
+
+
+def _replay_common(vk: VerifyingKey, proof: bytes, instances=None):
+    """PCS-agnostic transcript replay: reads every PLONK-phase
+    commitment and evaluation, replays all challenges through the
+    quotient check, and returns (tr, plan, comms, evals, rot_point)
+    with evals[("h",), 0] set to the expected quotient value — the
+    state every multiopen argument (SHPLONK, GWC, IPA) starts from."""
     cs = vk.cs
     k, usable = vk.k, vk.usable
     n = 1 << k
@@ -225,24 +250,29 @@ def verify_pairs(vk: VerifyingKey, proof: bytes, instances=None,
     except ValueError as e:  # defensive: any stray inversion failure
         raise VerifyError(str(e)) from e
     evals[(("h",), 0)] = acc * pow(zh_x, -1, R) % R
+    return tr, plan, comms, evals, rot_point
 
-    if multiopen == "gwc":
-        return _gwc_pairs(vk, tr, plan, comms, evals, rot_point)
-    assert multiopen == "shplonk", multiopen
 
-    # ---- SHPLONK check (halo2 rotation-set grouping) --------------------------
-    # Mirrors the prover: polys cluster by identical rotation set, y2
-    # folds members within a cluster, v folds across clusters (Horner
-    # direction: first member/cluster takes the highest power).
+def _shplonk_lincomb(tr, plan, comms, evals, rot_point):
+    """SHPLONK reduction scalars (halo2 rotation-set grouping),
+    PCS-agnostic: mirrors the prover — polys cluster by identical
+    rotation set, y2 folds members within a cluster, v folds across
+    clusters (Horner direction: first member/cluster takes the highest
+    power).  Consumes y2 | v | H commit | u from the transcript and
+    returns (msm_pts, msm_scs, const_corr, u) such that
+
+        C_L = MSM(msm_pts, msm_scs) - const_corr * [1]
+
+    commits to a polynomial with L(u) = 0.  The KZG caller closes with
+    the quotient witness + pairing; the IPA caller (backend/ipa.py)
+    opens C_L at u directly."""
     y2 = tr.squeeze_challenge()
     v = tr.squeeze_challenge()
     try:
         w_h = tr.read_point()
-        u = tr.squeeze_challenge()
-        w_q = tr.read_point()
-        tr.assert_consumed()
     except ValueError as e:
         raise VerifyError(str(e)) from e
+    u = tr.squeeze_challenge()
 
     sets_ = PROTO.rotation_sets(plan)
     K = len(sets_)
@@ -271,11 +301,7 @@ def verify_pairs(vk: VerifyingKey, proof: bytes, instances=None,
                 ev_fold[j] = (ev_fold[j] + w * evals[(key, r_)]) % R
         r_u = P.eval_host(P.lagrange_interp_host(pts, ev_fold), u)
         const_corr = (const_corr + s * r_u) % R
-    msm_pts += [(CV.G1_X, CV.G1_Y), w_q]
-    msm_scs += [-const_corr % R, u]
-    lhs = CV.host_msm(msm_pts, msm_scs)
-    neg_wq = None if w_q is None else (w_q[0], -w_q[1] % PR.Q)
-    return [(lhs, vk.g2), (neg_wq, vk.s_g2)]
+    return msm_pts, msm_scs, const_corr, u
 
 
 def _gwc_pairs(vk, tr, plan, comms, evals, rot_point):
