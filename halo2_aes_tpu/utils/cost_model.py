@@ -128,13 +128,20 @@ def field_muls(layout: CompiledCircuit, multiopen: str = "shplonk") -> dict:
     phases["evals"] = (degree - 1) * n + len(plan) * 2 * n
     # multiopen
     G = len({key for key, _ in plan})
-    if multiopen == "shplonk":
+    if multiopen in ("shplonk", "ipa"):
         K = len(PROTO.rotation_sets(plan))
         mo = G * n                                       # y2 member fold
         mo += K * 4 * n                                  # v-scaled Z_{T\S_k} f accumulate
         mo += ntt(2 * n, 2) + 2 * 2 * n + 3 * (2 * n)    # f/Z_T on 2n coset
-        mo += ntt(n, 2) + K * n + 3 * n                  # L/(X-u) on n coset
-        mo += msm(2)
+        if multiopen == "shplonk":
+            mo += ntt(n, 2) + K * n + 3 * n              # L/(X-u) on n coset
+            mo += msm(2)
+        else:
+            mo += K * n + n                              # ipa_l linear combo
+            # k rounds: 2 full-basis MSMs each (the original-basis
+            # re-expression keeps every round at size n), scalar
+            # expansion ~2n muls/round, folds + inner products ~6n total
+            mo += msm(2 * k) + 2 * k * n + 6 * n
     else:
         rots = len({rot for _, rot in plan})
         mo = G * 2 * n + rots * (ntt(n, 2) + 5 * n) + msm(rots)
@@ -158,10 +165,15 @@ def estimate(layout: CompiledCircuit, multiopen: str = "shplonk") -> CostModel:
     evals = sum(1 for key, _ in plan if key[0] != "h")
     # advice + 2 per lookup (A', S') + perm z + lookup z + random +
     # d-1 h pieces + opening witnesses (SHPLONK: 2; GWC: one per
-    # distinct rotation point)
-    n_open = 2 if multiopen == "shplonk" else len({rot for _, rot in plan})
+    # distinct rotation point; IPA: H + 2k round points + final scalar)
+    if multiopen == "shplonk":
+        n_open, extra_scalars = 2, 0
+    elif multiopen == "ipa":
+        n_open, extra_scalars = 1 + 2 * layout.k, 1
+    else:
+        n_open, extra_scalars = len({rot for _, rot in plan}), 0
     points = n_adv + 2 * n_lk + chunks + n_lk + 1 + (degree - 1) + n_open
-    proof_bytes = 32 * (points + evals)
+    proof_bytes = 32 * (points + evals + extra_scalars)
 
     # prover work model
     commit_msms = points
@@ -185,7 +197,7 @@ def estimate(layout: CompiledCircuit, multiopen: str = "shplonk") -> CostModel:
         perm_chunks=chunks,
         max_degree=degree,
         proof_points=points,
-        proof_scalars=evals,
+        proof_scalars=evals + extra_scalars,
         proof_bytes=proof_bytes,
         commit_msms=commit_msms,
         ntts_base=ntts_base,

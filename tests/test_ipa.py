@@ -45,9 +45,14 @@ def ipa_setup():
 
 @pytest.mark.slow
 def test_ipa_roundtrip(ipa_setup):
-    _, values, pk, srs = ipa_setup
+    layout, values, pk, srs = ipa_setup
     proof = prove(pk, values, seed=42, multiopen="ipa")
     assert IPA.verify(pk.vk, proof, srs=srs)
+    # the cost model's proof-size estimate is exact for ipa too
+    from halo2_aes_tpu.utils import cost_model
+
+    assert len(proof) == cost_model.estimate(layout,
+                                             multiopen="ipa").proof_bytes
     # different blinding seed still verifies; proof carries the 2k
     # opening rounds + final scalar instead of the KZG witness commit
     assert IPA.verify(pk.vk, prove(pk, values, seed=43, multiopen="ipa"),
