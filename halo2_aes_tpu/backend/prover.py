@@ -267,9 +267,15 @@ class _Phases:
         # quotient_subcoset's (D*n,16) dyn_evals vs its (n,16) output
         # never matched, so that donation was dead weight; removed.
         self.quotient_subcoset = jax.jit(self._quotient_subcoset)
+        # the dyn stack is REBUILT per sub-coset (cheap: device copies of
+        # resident coeff slices) precisely so it can be donated here —
+        # input aval (D*n,16) == output aval, so the coset NTT aliases
+        # the ~3.5 GB stack (k=20 n_sets=2) instead of doubling it; the
+        # measured k=20/1540/2 OOM was this allocation
         self.quotient_dyn_evals = jax.jit(
             lambda stack, sp: self._ntt_stack(
-                stack, len(self.q_dyn_keys), sp))
+                stack, len(self.q_dyn_keys), sp),
+            donate_argnums=(0,))
         # the freshly-concatenated static stack is single-use and its
         # output aval matches ((S*n,16) -> (S*n,16)), so this donation
         # DOES alias the 1.7 GB input into the NTT workspace
@@ -1157,20 +1163,24 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             # at k=20 the resident MSM window tables (2.75 GB) must make
             # room — the piece commits below reload them from the cache
             pk.srs.evict_tables()
-        dyn_stack = jnp.concatenate(
-            [jnp.asarray(coeffs_for(key)) for key in ph.q_dyn_keys])
         q_subs = []
         for s in range(ph.ratio):
             shift_np, zh_inv_np = _subcoset_tables_np(k, ph.ext_k, s)
             shift_pows = jnp.asarray(shift_np)
+            # rebuilt per sub-coset so the NTT can DONATE it (see the
+            # quotient_dyn_evals wiring); holding one stack across all
+            # R sub-cosets forced input+output copies to coexist — the
+            # measured k=20/1540/2 quotient OOM
+            dyn_stack = jnp.concatenate(
+                [jnp.asarray(coeffs_for(key)) for key in ph.q_dyn_keys])
             dyn_evals = _drain(ph.quotient_dyn_evals(dyn_stack, shift_pows))
+            del dyn_stack
             q_subs.append(_drain(_sync_tick(f"quotient:sub{s}", ph.quotient_subcoset(
                 ph.static_subcoset_evals(s), dyn_evals,
                 theta_m, beta_m, gamma_m, y_m,
                 shift_pows, jnp.asarray(zh_inv_np)))))
-        # dyn_stack (a 2.4 GB copy at k=20 n_sets=2) and the per-subcoset
-        # quotient accumulators are dead past this point
-        del dyn_stack
+            # free the evals before the next sub-coset's NTT peaks
+            del dyn_evals
         q_flat = jnp.concatenate(q_subs)
         del q_subs
         pieces = _sync_tick("quotient:finish", ph.quotient_finish(q_flat))
