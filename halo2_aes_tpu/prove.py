@@ -20,7 +20,8 @@ import numpy as np
 def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
         srs_cache: str | None = "ptau", expose_ciphertext: bool = False,
         use_pallas: bool = True, decrypt: bool = False,
-        checkpoint_dir: str | None = None) -> dict:
+        checkpoint_dir: str | None = None,
+        backend: str = "kzg-shplonk") -> dict:
     import jax
 
     from halo2_aes_tpu.ops import field
@@ -40,12 +41,12 @@ def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
 
         pallas_field.enable_in_field_ops()
 
-    from halo2_aes_tpu.backend import srs as SRS
-    from halo2_aes_tpu.backend.keygen import keygen_cached
-    from halo2_aes_tpu.backend.prover import prove
-    from halo2_aes_tpu.backend.verifier import verify
+    from halo2_aes_tpu.backend import get_backend
     from halo2_aes_tpu.circuit import witness
     from halo2_aes_tpu.models.aes128 import AesConfig, compile_circuit
+
+    be = get_backend(backend)
+    keygen_cached, prove, verify = be.keygen, be.prove, be.verify
 
     timings = {}
 
@@ -73,7 +74,7 @@ def run(k: int, n_sets: int, blocks: int, do_verify: bool, seed: int = 0,
                             expose_ciphertext=expose_ciphertext)
             layout = compile_circuit(cfg)
     with timed("srs_setup"):
-        srs = SRS.setup(k, cache_dir=srs_cache)
+        srs = be.setup_srs(k, cache_dir=srs_cache)
     with timed("keygen"):
         pk = keygen_cached(layout, srs, cache_dir=srs_cache or 'ptau')
 
@@ -137,11 +138,16 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None,
                     help="persist per-phase prove checkpoints here and "
                          "resume a crashed prove (backend/resume.py)")
+    ap.add_argument("--backend", default="kzg-shplonk",
+                    choices=["kzg-shplonk", "kzg-gwc", "ipa"],
+                    help="proving system (backend.get_backend): KZG with "
+                         "SHPLONK or GWC multiopen, or the transparent "
+                         "pairing-free IPA system (backend/ipa.py)")
     args = ap.parse_args()
     result = run(args.k, args.sets, args.blocks, args.verify, args.seed,
                  expose_ciphertext=args.expose_ciphertext,
                  use_pallas=args.pallas, decrypt=args.decrypt,
-                 checkpoint_dir=args.checkpoint_dir)
+                 checkpoint_dir=args.checkpoint_dir, backend=args.backend)
     print(json.dumps(result))
 
 
