@@ -288,6 +288,7 @@ class _Phases:
         # d-1 == R (the common case) and the buffer aliases in place
         self.quotient_finish = jax.jit(self._quotient_finish,
                                        donate_argnums=(0,))
+        self._slice_jits = {}            # cnt -> fused slice NTT+write
         self.h_combine = wrap(self._h_combine)
         # SHPLONK rotation-set clusters (halo2 construct_intermediate_sets
         # grouping; static per constraint system)
@@ -506,23 +507,60 @@ class _Phases:
         return self._ntt_many(stack, count, inverse=False,
                               shift_pows=shift_pows)
 
+    def evals_sliced(self, keys, coeffs_fn, shift_pows, B: int = 8):
+        """Sub-coset NTT of a poly stack, B columns at a time.
+
+        The monolithic stack NTT at k=20 holds input + output + the
+        four-step workspace for the WHOLE stack at once — with the
+        n_sets=2 dyn stack (~58 columns, 3.6 GiB) that peaked past free
+        HBM even with the input donated (measured OOM, k=20/1540/2).
+        Slicing bounds the workspace to B columns; each slice executable
+        fuses the coset NTT with a donated dynamic_update_slice into the
+        full evals tensor, so the only full-size allocation is the
+        output buffer itself.  One executable per distinct slice width
+        (B and the remainder)."""
+        n = self.n
+        total = len(keys)
+        out = jnp.zeros((total * n, F.LIMBS), jnp.uint32)
+        for lo in range(0, total, B):
+            sl = keys[lo : lo + B]
+            fused = self._slice_jits.get(len(sl))
+            if fused is None:
+                cnt = len(sl)
+
+                def _fused(buf, stack, sp, row, _c=cnt):
+                    ev = self._ntt_stack(stack, _c, sp)
+                    return jax.lax.dynamic_update_slice(buf, ev, (row, 0))
+
+                fused = jax.jit(_fused, donate_argnums=(0,))
+                self._slice_jits[len(sl)] = fused
+            stack = jnp.concatenate([jnp.asarray(coeffs_fn(kk))
+                                     for kk in sl])
+            out = fused(out, stack, shift_pows, jnp.int32(lo * n))
+        return out
+
     def static_subcoset_evals(self, s: int):
         """Sub-coset evaluations of the static quotient polys, cached
         per pk per sub-coset (they are proof-independent)."""
         out = self._static_evals.get(s)
         if out is None:
-            stack = jnp.concatenate(
-                [jnp.asarray(self._coeffs_static(key))
-                 for key in self.q_static_keys])
             shift_np, _ = _subcoset_tables_np(self.k, self.ext_k, s)
-            out = self.ntt_stack_static(stack, jnp.asarray(shift_np))
             # cache only while the full set fits a modest HBM slice
             # (k=20 static evals would be ~9 GB — recompute per proof
             # there instead of starving the quotient phase)
             total = (len(self.q_static_keys) * self.ratio
                      * self.n * F.LIMBS * 4)
-            if total <= (1 << 31):
-                self._static_evals[s] = jax.block_until_ready(out)
+            if total > (1 << 31):
+                # uncached = the k>=19 regime: slice the NTT so its
+                # workspace stays bounded (see evals_sliced)
+                return self.evals_sliced(self.q_static_keys,
+                                         self._coeffs_static,
+                                         jnp.asarray(shift_np))
+            stack = jnp.concatenate(
+                [jnp.asarray(self._coeffs_static(key))
+                 for key in self.q_static_keys])
+            out = self.ntt_stack_static(stack, jnp.asarray(shift_np))
+            self._static_evals[s] = jax.block_until_ready(out)
         return out
 
     def _coeffs_static(self, key):
@@ -1167,14 +1205,21 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         for s in range(ph.ratio):
             shift_np, zh_inv_np = _subcoset_tables_np(k, ph.ext_k, s)
             shift_pows = jnp.asarray(shift_np)
-            # rebuilt per sub-coset so the NTT can DONATE it (see the
-            # quotient_dyn_evals wiring); holding one stack across all
-            # R sub-cosets forced input+output copies to coexist — the
-            # measured k=20/1540/2 quotient OOM
-            dyn_stack = jnp.concatenate(
-                [jnp.asarray(coeffs_for(key)) for key in ph.q_dyn_keys])
-            dyn_evals = _drain(ph.quotient_dyn_evals(dyn_stack, shift_pows))
-            del dyn_stack
+            if _large:
+                # k>=19: sliced NTT bounds the four-step workspace —
+                # the monolithic stack transform OOMed at k=20/1540/2
+                # even with its input donated (see evals_sliced)
+                dyn_evals = _drain(ph.evals_sliced(ph.q_dyn_keys,
+                                                   coeffs_for, shift_pows))
+            else:
+                # rebuilt per sub-coset so the NTT can DONATE it (input
+                # aval == output aval; holding one stack across all R
+                # sub-cosets forced input+output copies to coexist)
+                dyn_stack = jnp.concatenate(
+                    [jnp.asarray(coeffs_for(key)) for key in ph.q_dyn_keys])
+                dyn_evals = _drain(ph.quotient_dyn_evals(dyn_stack,
+                                                         shift_pows))
+                del dyn_stack
             q_subs.append(_drain(_sync_tick(f"quotient:sub{s}", ph.quotient_subcoset(
                 ph.static_subcoset_evals(s), dyn_evals,
                 theta_m, beta_m, gamma_m, y_m,

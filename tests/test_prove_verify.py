@@ -396,3 +396,22 @@ def test_transcript_wire_rejects_identity():
     rd = TranscriptReader(bytes(32))
     with pytest.raises(ValueError, match="identity"):
         rd.read_point()
+
+
+def test_sliced_subcoset_evals_match_monolithic(setup):
+    """evals_sliced (the bounded-workspace k>=19 quotient path) must be
+    value-identical to the monolithic stack NTT it replaces."""
+    import jax.numpy as jnp
+
+    from halo2_aes_tpu.backend import prover as PRV
+
+    _, _, pk = setup
+    ph = PRV._get_phases(pk)
+    shift_np, _ = PRV._subcoset_tables_np(ph.k, ph.ext_k, 1)
+    shift = jnp.asarray(shift_np)
+    stack = jnp.concatenate([jnp.asarray(ph._coeffs_static(key))
+                             for key in ph.q_static_keys])
+    mono = ph.ntt_stack_static(stack, shift)
+    sliced = ph.evals_sliced(ph.q_static_keys, ph._coeffs_static, shift,
+                             B=2)   # forces full + remainder slices
+    assert np.array_equal(np.asarray(mono), np.asarray(sliced))
