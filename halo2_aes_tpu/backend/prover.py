@@ -587,6 +587,18 @@ class _Phases:
         quotient_dyn_evals, and its output buffer is donated here):
         fusing the 28-column NTT into this executable pushed its
         internal peak past free HBM at k=20 — a measured OOM."""
+        Ctx = self._subcoset_ctx(static_evals, dyn_evals, theta_m,
+                                 beta_m, gamma_m, shift_pows)
+        acc = None
+        for term in PROTO.constraint_terms(self.cs, Ctx):
+            acc = term if acc is None else F.add(
+                FR, F.mont_mul(FR, acc, y_m), term)
+        return F.mont_mul(FR, acc, zh_inv)
+
+    def _subcoset_ctx(self, static_evals, dyn_evals, theta_m, beta_m,
+                      gamma_m, shift_pows):
+        """The device-algebra Context over pre-evaluated sub-coset
+        stacks, shared by the fused and the term-sliced quotient paths."""
         n = self.n
         by_key = {key: static_evals[i * n : (i + 1) * n]
                   for i, key in enumerate(self.q_static_keys)}
@@ -595,7 +607,6 @@ class _Phases:
         pts = F.mont_mul(FR, jnp.asarray(self.dom.omega_powers()),
                          shift_pows[1])
         delta_pows = jnp.asarray(self._delta_pows)
-        qidx = self.q_index
 
         def rot_roll(arr, rot):
             r = self.usable if rot == "u" else rot
@@ -621,12 +632,75 @@ class _Phases:
                 lambda i, rot: rot_roll(by_key[("lookup_a", i)], rot))
             lookup_s = staticmethod(lambda i: by_key[("lookup_s", i)])
 
-        del qidx
+        return Ctx
+
+    def n_constraint_terms(self) -> int:
+        cs = self.cs
+        m = len(cs.perm_columns)
+        perm = (2 * self.chunks + 1) if m else 0
+        return len(cs.gates) + perm + 5 * self.n_lk
+
+    def _quotient_terms_slice(self, lo, hi, static_evals, dyn_evals,
+                              theta_m, beta_m, gamma_m, y_m, shift_pows):
+        """Horner-y fold of constraint terms [lo, hi) only.
+
+        The FUSED subcoset executable's scheduler held dozens of rolled
+        column tensors live at once — a measured k=20/n_sets=2 OOM even
+        after the NTTs were sliced.  Splitting the term fold into
+        separate executables bounds the live set; skipped terms' traced
+        ops are dead-code-eliminated by XLA."""
+        Ctx = self._subcoset_ctx(static_evals, dyn_evals, theta_m,
+                                 beta_m, gamma_m, shift_pows)
         acc = None
-        for term in PROTO.constraint_terms(self.cs, Ctx):
-            acc = term if acc is None else F.add(
-                FR, F.mont_mul(FR, acc, y_m), term)
-        return F.mont_mul(FR, acc, zh_inv)
+        for i, term in enumerate(PROTO.constraint_terms(self.cs, Ctx)):
+            if lo <= i < hi:
+                acc = term if acc is None else F.add(
+                    FR, F.mont_mul(FR, acc, y_m), term)
+        return acc
+
+    def quotient_subcoset_sliced(self, static_evals, dyn_evals, theta_m,
+                                 beta_m, gamma_m, y_m, shift_pows,
+                                 zh_inv, n_parts: int = 3):
+        """Term-sliced quotient sub-coset: n_parts Horner partials
+        combined with the bridging y powers, then the Z_H division —
+        value-identical to quotient_subcoset (regression-tested)."""
+        T = self.n_constraint_terms()
+        bounds = [round(j * T / n_parts) for j in range(n_parts + 1)]
+        acc = None
+        for j in range(n_parts):
+            lo, hi = bounds[j], bounds[j + 1]
+            if lo == hi:
+                continue
+            key = ("qsub_slice", lo, hi)
+            fn = self._slice_jits.get(key)
+            if fn is None:
+                fn = jax.jit(functools.partial(
+                    self._quotient_terms_slice, lo, hi))
+                self._slice_jits[key] = fn
+            part = fn(static_evals, dyn_evals, theta_m, beta_m,
+                      gamma_m, y_m, shift_pows)
+            if acc is None:
+                acc = part
+            else:
+                ckey = ("qsub_bridge", hi - lo)
+                bridge = self._slice_jits.get(ckey)
+                if bridge is None:
+                    cnt = hi - lo
+
+                    def _bridge(a, p, ym, _c=cnt):
+                        return F.add(FR, F.mont_mul(
+                            FR, a, F.pow_const(FR, ym, _c)), p)
+
+                    bridge = jax.jit(_bridge, donate_argnums=(0,))
+                    self._slice_jits[ckey] = bridge
+                acc = bridge(acc, part, y_m)
+        fkey = ("qsub_final",)
+        fin = self._slice_jits.get(fkey)
+        if fin is None:
+            fin = jax.jit(lambda a, z: F.mont_mul(FR, a, z),
+                          donate_argnums=(0,))
+            self._slice_jits[fkey] = fin
+        return fin(acc, zh_inv)
 
     def _quotient_finish(self, q_flat):
         """Interleave sub-coset values back to the extended coset order,
@@ -1220,7 +1294,9 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
                 dyn_evals = _drain(ph.quotient_dyn_evals(dyn_stack,
                                                          shift_pows))
                 del dyn_stack
-            q_subs.append(_drain(_sync_tick(f"quotient:sub{s}", ph.quotient_subcoset(
+            qsub = (ph.quotient_subcoset_sliced if _large
+                    else ph.quotient_subcoset)
+            q_subs.append(_drain(_sync_tick(f"quotient:sub{s}", qsub(
                 ph.static_subcoset_evals(s), dyn_evals,
                 theta_m, beta_m, gamma_m, y_m,
                 shift_pows, jnp.asarray(zh_inv_np)))))

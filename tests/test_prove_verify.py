@@ -415,3 +415,36 @@ def test_sliced_subcoset_evals_match_monolithic(setup):
     sliced = ph.evals_sliced(ph.q_static_keys, ph._coeffs_static, shift,
                              B=2)   # forces full + remainder slices
     assert np.array_equal(np.asarray(mono), np.asarray(sliced))
+
+
+def test_sliced_quotient_subcoset_matches_fused(setup):
+    """quotient_subcoset_sliced (k>=19 bounded-live-set path) must be
+    value-identical to the fused executable for arbitrary inputs."""
+    import jax.numpy as jnp
+
+    from halo2_aes_tpu.backend import prover as PRV
+    from halo2_aes_tpu.ops import field as F
+
+    _, _, pk = setup
+    ph = PRV._get_phases(pk)
+    n = ph.n
+    FR = F.FR
+    rng = np.random.default_rng(3)
+
+    def rnd(rows):
+        return jnp.asarray(FR.encode(
+            rng.integers(1, 2**62, rows, dtype=np.int64).tolist()))
+
+    static_evals = rnd(len(ph.q_static_keys) * n)
+    dyn_evals = rnd(len(ph.q_dyn_keys) * n)
+    theta, beta, gamma, y = (jnp.asarray(FR.encode(v))
+                             for v in (11, 13, 17, 19))
+    shift_np, zh_inv_np = PRV._subcoset_tables_np(ph.k, ph.ext_k, 1)
+    shift = jnp.asarray(shift_np)
+    zh_inv = jnp.asarray(zh_inv_np)
+    fused = ph.quotient_subcoset(static_evals, dyn_evals, theta, beta,
+                                 gamma, y, shift, zh_inv)
+    sliced = ph.quotient_subcoset_sliced(static_evals, dyn_evals, theta,
+                                         beta, gamma, y, shift, zh_inv,
+                                         n_parts=3)
+    assert np.array_equal(np.asarray(fused), np.asarray(sliced))
