@@ -183,6 +183,42 @@ def _subcoset_tables_np(k: int, ext_k: int, s: int):
     return shift_powers, zh_inv
 
 
+@functools.lru_cache(maxsize=None)
+def _finish_split_tables_np(k: int, ext_k: int, d: int):
+    """Host tables for the four-step quotient-finish decomposition.
+
+    Derivation: ext-coset values v_s[t] = f(g·W^s·w^t) per sub-coset s
+    (W = w_ext, w = W^R).  INTT_n over t gives
+        u_s[t'] = sum_q c_{t'+qn} (g W^s)^{t'+qn};
+    unscaling d_s = u_s·(g W^s)^{-t'} leaves an R-point DFT across the
+    sub-cosets: d_s[t'] = sum_q [c_{t'+qn} g^{qn}] ω_R^{sq} with
+    ω_R = W^n.  Inverting it, c_{t'+qn} = sum_s mix[q,s]·d_s[t'] with
+    mix[q,s] = R^{-1}·g^{-qn}·ω_R^{-sq}.
+
+    Returns (unscale (R·n, 16): rows [s·n,(s+1)·n) hold (g W^s)^{-t'},
+    mix (d-1, R, 16)); both passed as ARGUMENTS — embedding ext-size
+    twiddles as graph constants made the monolithic 2^{k+2}-point
+    quotient_finish compile request exceed the remote-compile relay's
+    body cap (HTTP 413, measured at k=20)."""
+    p = FR.modulus
+    n = 1 << k
+    R = (1 << ext_k) // n
+    w_ext = domain(FR, ext_k).omega
+    unscale = np.concatenate([
+        FR.host_powers(pow(P.GEN * pow(w_ext, s, p) % p, -1, p), n)
+        for s in range(R)])
+    omega_r = pow(w_ext, n, p)
+    r_inv = pow(R, -1, p)
+    g_n = pow(P.GEN, n, p)
+    mix = np.zeros((d - 1, R, F.LIMBS), np.uint32)
+    for q in range(d - 1):
+        gq_inv = pow(pow(g_n, q, p), -1, p)
+        for s in range(R):
+            mix[q, s] = F.int_to_limbs(FR.to_mont_host(
+                r_inv * gq_inv % p * pow(omega_r, (-s * q) % R, p) % p))
+    return unscale, mix
+
+
 # --------------------------------------------------------------------------
 # per-pk phase machinery
 # --------------------------------------------------------------------------
@@ -288,6 +324,8 @@ class _Phases:
         # d-1 == R (the common case) and the buffer aliases in place
         self.quotient_finish = jax.jit(self._quotient_finish,
                                        donate_argnums=(0,))
+        self._qfs_jit = jax.jit(self._quotient_finish_split,
+                                donate_argnums=(0,))
         self._slice_jits = {}            # cnt -> fused slice NTT+write
         self.h_combine = wrap(self._h_combine)
         # SHPLONK rotation-set clusters (halo2 construct_intermediate_sets
@@ -717,6 +755,31 @@ class _Phases:
             q_ext = q_ext.at[sidx::R].set(q_flat[sidx * n : (sidx + 1) * n])
         h = P.coset_interp(self.dom_ext, q_ext)
         return h[: (self.d - 1) * n]
+
+    def _quotient_finish_split(self, q_flat, unscale, mix):
+        """Four-step quotient finish: R size-n INTTs + the R-point
+        cross-sub-coset DFT (see _finish_split_tables_np) — replaces the
+        monolithic 2^{ext_k}-point interp whose serialized graph
+        exceeded the remote-compile relay's body cap at k=20.
+        Value-identical to _quotient_finish (regression-tested)."""
+        n = self.n
+        R = self.ratio
+        u = self._ntt_many(q_flat, R, inverse=True)
+        dvals = F.mont_mul(FR, u, unscale)
+        outs = []
+        for q in range(self.d - 1):
+            acc = None
+            for s in range(R):
+                t = F.mont_mul(FR, dvals[s * n : (s + 1) * n], mix[q, s])
+                acc = t if acc is None else F.add(FR, acc, t)
+            outs.append(acc)
+        return jnp.concatenate(outs)
+
+    def quotient_finish_large(self, q_flat):
+        unscale_np, mix_np = _finish_split_tables_np(self.k, self.ext_k,
+                                                     self.d)
+        return self._qfs_jit(q_flat, jnp.asarray(unscale_np),
+                             jnp.asarray(mix_np))
 
     def _h_combine(self, pieces_flat, xn_pows):
         """h(X) folded with x^n powers: sum_j xn^j pieces[j]."""
@@ -1304,7 +1367,8 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             del dyn_evals
         q_flat = jnp.concatenate(q_subs)
         del q_subs
-        pieces = _sync_tick("quotient:finish", ph.quotient_finish(q_flat))
+        qfinish = ph.quotient_finish_large if _large else ph.quotient_finish
+        pieces = _sync_tick("quotient:finish", qfinish(q_flat))
         del q_flat
         piece_pts = _commit_pts(ph, pieces, ph.d - 1)
         if _tlevel == "2":

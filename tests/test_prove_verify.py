@@ -448,3 +448,22 @@ def test_sliced_quotient_subcoset_matches_fused(setup):
                                          beta, gamma, y, shift, zh_inv,
                                          n_parts=3)
     assert np.array_equal(np.asarray(fused), np.asarray(sliced))
+
+
+def test_split_quotient_finish_matches_monolithic(setup):
+    """quotient_finish_large (the k>=19 four-step decomposition that
+    avoids the remote-compile body cap) must be value-identical to the
+    monolithic ext-domain interp."""
+    import jax.numpy as jnp
+
+    from halo2_aes_tpu.backend import prover as PRV
+    from halo2_aes_tpu.ops import field as F
+
+    _, _, pk = setup
+    ph = PRV._get_phases(pk)
+    rng = np.random.default_rng(5)
+    q_flat = jnp.asarray(F.FR.encode(
+        rng.integers(1, 2**62, ph.ratio * ph.n, dtype=np.int64).tolist()))
+    mono = ph.quotient_finish(jnp.array(q_flat))       # donated: pass a copy
+    split = ph.quotient_finish_large(jnp.array(q_flat))
+    assert np.array_equal(np.asarray(mono), np.asarray(split))
