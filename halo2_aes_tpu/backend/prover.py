@@ -339,6 +339,7 @@ class _Phases:
         self.gwc_witness = wrap(self._gwc_witness)
         self.hshp_blind_fix = wrap(self._hshp_blind_fix)
         self.shplonk_h = wrap(self._shplonk_h)
+        self._shph_split_jit = jax.jit(self._shplonk_h_split)
         self._eval_jits = {}
 
     def eval_many(self, flat, x_m, count: int):
@@ -892,6 +893,60 @@ class _Phases:
             acc = F.add(FR, acc, F.mont_mul(
                 FR, poly_flat[g * n : (g + 1) * n], svals[g]))
         return acc.at[0].set(F.sub(FR, acc[0], const_corr))
+
+    def _shplonk_h_split(self, f_acc, zt_coeffs_m, fold_sc, shift_pows2,
+                         unscale2, mix2):
+        """h = f/Z_T on the 2n coset via TWO size-n sub-coset passes.
+
+        Same decomposition as _quotient_finish_split with R=2 over
+        domain(k+1): the monolithic 2^{k+1}-point transforms' serialized
+        graphs risk the remote-compile body cap at k=20.  Per sub-coset
+        s: fold f's degree-overflow rows with x^n = shift_s^n (constant
+        on the sub-coset), shifted NTT_n, Horner Z_T over the sub-coset
+        points, batch-inverse multiply, INTT_n, unscale; deg h < n so
+        only the q=0 coefficient block survives the cross-DFT (mix2 =
+        1/2 on both halves).  Value-identical to _shplonk_h
+        (regression-tested)."""
+        n = self.n
+        tail = f_acc[n:]
+        omega_pows = jnp.asarray(self.dom.omega_powers())
+        D = zt_coeffs_m.shape[0]
+        dsum = None
+        for s in range(2):
+            folded = f_acc[:n].at[: tail.shape[0]].set(
+                F.add(FR, f_acc[: tail.shape[0]],
+                      F.mont_mul(FR, tail, fold_sc[s])))
+            f_ev = self._ntt_many(folded, 1, inverse=False,
+                                  shift_pows=shift_pows2[s])
+            pts = F.mont_mul(FR, omega_pows, shift_pows2[s][1])
+            acc = jnp.broadcast_to(zt_coeffs_m[D - 1], (n, F.LIMBS))
+            for dd in range(D - 2, -1, -1):
+                acc = F.add(FR, F.mont_mul(FR, acc, pts),
+                            jnp.broadcast_to(zt_coeffs_m[dd],
+                                             (n, F.LIMBS)))
+            h_ev = F.mont_mul(FR, f_ev, F.batch_inv(FR, acc))
+            u = self._ntt_many(h_ev, 1, inverse=True)
+            d_s = F.mont_mul(FR, u, unscale2[s * n : (s + 1) * n])
+            t = F.mont_mul(FR, d_s, mix2[0, s])
+            dsum = t if dsum is None else F.add(FR, dsum, t)
+        return dsum
+
+    def shplonk_h_large(self, f_acc, zt_coeffs_m):
+        p = FR.modulus
+        n = self.n
+        unscale2, mix2 = _finish_split_tables_np(self.k, self.k + 1, 2)
+        w1 = domain(FR, self.k + 1).omega
+        shift_list, fold_list = [], []
+        for s in range(2):
+            sp, _ = _subcoset_tables_np(self.k, self.k + 1, s)
+            shift_list.append(sp)
+            shift = P.GEN * pow(w1, s, p) % p
+            fold_list.append(F.int_to_limbs(
+                FR.to_mont_host(pow(shift, n, p))))
+        return self._shph_split_jit(
+            f_acc, zt_coeffs_m, jnp.asarray(np.stack(fold_list)),
+            jnp.asarray(np.stack(shift_list)), jnp.asarray(unscale2),
+            jnp.asarray(mix2))
 
     def _shplonk_l(self, poly_flat, svals, h_shp, neg_zt_u, const_corr,
                    u_m):
@@ -1549,7 +1604,8 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
 
     zt_coeffs_m = jnp.asarray(F.ints_to_limbs_fast(
         [FR.to_mont_host(c) for c in P.vanishing_poly_coeffs(t_points)]))
-    h_shp = ph.shplonk_h(f_acc, zt_coeffs_m)
+    h_shp = (ph.shplonk_h_large if _large else ph.shplonk_h)(
+        f_acc, zt_coeffs_m)
     if cn:
         # piece-blind correction: f gains W_h·cn·(X^n − x^n)·Z_{T∖S_h}(X),
         # whose quotient by Z_T = Z_{T∖S_h}·(X − x) is the closed form

@@ -467,3 +467,26 @@ def test_split_quotient_finish_matches_monolithic(setup):
     mono = ph.quotient_finish(jnp.array(q_flat))       # donated: pass a copy
     split = ph.quotient_finish_large(jnp.array(q_flat))
     assert np.array_equal(np.asarray(mono), np.asarray(split))
+
+
+def test_split_shplonk_h_matches_monolithic(setup):
+    """shplonk_h_large (two size-n sub-coset passes) must be
+    value-identical to the monolithic 2n-coset division."""
+    import jax.numpy as jnp
+
+    from halo2_aes_tpu.backend import poly as P
+    from halo2_aes_tpu.backend import prover as PRV
+    from halo2_aes_tpu.ops import field as F
+
+    _, _, pk = setup
+    ph = PRV._get_phases(pk)
+    FR = F.FR
+    rng = np.random.default_rng(7)
+    zt = P.vanishing_poly_coeffs([3, 5, 7])
+    zt_m = jnp.asarray(F.ints_to_limbs_fast(
+        [FR.to_mont_host(c) for c in zt]))
+    f_acc = jnp.asarray(FR.encode(rng.integers(
+        1, 2**62, ph.n + len(zt) - 1, dtype=np.int64).tolist()))
+    mono = ph.shplonk_h(f_acc, zt_m)
+    split = ph.shplonk_h_large(f_acc, zt_m)
+    assert np.array_equal(np.asarray(mono), np.asarray(split))
