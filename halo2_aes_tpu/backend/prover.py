@@ -1490,13 +1490,24 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
     by_rot = {}
     for key, rot in plan:
         by_rot.setdefault(rot, []).append(key)
+    if _large:
+        # the MSM window tables (2.75 GiB at k=20) came back resident
+        # for the piece commits; the eval/multiopen concats need the
+        # headroom more — the two remaining witness commits reload them
+        # from the npz cache in seconds
+        pk.srs.evict_tables()
     evals = {}
     for rot, keys in by_rot.items():
-        stack = jnp.concatenate([poly_coeffs(kk) for kk in keys])
-        vals = ph.eval_many(stack, jnp.asarray(FR.encode(rot_point(rot))),
-                            len(keys))
-        for kk, v in zip(keys, FR.decode(vals)):
-            evals[(kk, rot)] = v
+        x_m_rot = jnp.asarray(FR.encode(rot_point(rot)))
+        # chunked at k>=19: the rot-0 stack alone is ~2.6 GiB and the
+        # eval workspace on top of the resident state OOMed (measured)
+        step = 12 if _large else len(keys)
+        for lo in range(0, len(keys), step):
+            sl = keys[lo : lo + step]
+            stack = jnp.concatenate([poly_coeffs(kk) for kk in sl])
+            vals = ph.eval_many(stack, x_m_rot, len(sl))
+            for kk, v in zip(sl, FR.decode(vals)):
+                evals[(kk, rot)] = v
     for key, rot in plan:
         if key[0] != "h":
             tr.write_scalar(evals[(key, rot)])
