@@ -340,6 +340,10 @@ class _Phases:
         self.hshp_blind_fix = wrap(self._hshp_blind_fix)
         self.shplonk_h = wrap(self._shplonk_h)
         self._shph_split_jit = jax.jit(self._shplonk_h_split)
+        self._shpl_eval_jit = jax.jit(self._shpl_div_eval,
+                                      donate_argnums=(0,))
+        self._shpl_interp_jit = jax.jit(self._shpl_div_interp,
+                                        donate_argnums=(0,))
         self._eval_jits = {}
 
     def eval_many(self, flat, x_m, count: int):
@@ -947,6 +951,27 @@ class _Phases:
             f_acc, zt_coeffs_m, jnp.asarray(np.stack(fold_list)),
             jnp.asarray(np.stack(shift_list)), jnp.asarray(unscale2),
             jnp.asarray(mix2))
+
+    def _shpl_div_eval(self, acc, u_m):
+        """Stage 2 of the split L witness: evaluate on the base coset
+        and divide by (X - u) pointwise (one transform per graph — the
+        fused two-transform _shplonk_l graph exceeded the
+        remote-compile body cap at k=20)."""
+        l_ev = P.coset_evals(self.dom, acc)
+        den = F.sub(FR, _coset_points(self.dom), u_m)
+        return F.mont_mul(FR, l_ev, F.batch_inv(FR, den))
+
+    def _shpl_div_interp(self, vals):
+        """Stage 3: back to coefficients."""
+        return P.coset_interp(self.dom, vals)
+
+    def shplonk_l_large(self, poly_flat, svals, h_shp, neg_zt_u,
+                        const_corr, u_m):
+        """Three-executable SHPLONK L witness for k>=19: the linear
+        combination (shared with the IPA path), then one transform per
+        graph.  Value-identical to _shplonk_l (regression-tested)."""
+        acc = self.ipa_l(poly_flat, svals, h_shp, neg_zt_u, const_corr)
+        return self._shpl_interp_jit(self._shpl_eval_jit(acc, u_m))
 
     def _shplonk_l(self, poly_flat, svals, h_shp, neg_zt_u, const_corr,
                    u_m):
@@ -1665,7 +1690,7 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             ck.clear()
         return tr.finalize()
 
-    q_w = ph.shplonk_l(
+    q_w = (ph.shplonk_l_large if _large else ph.shplonk_l)(
         poly_flat, jnp.asarray(svals_np), h_shp,
         jnp.asarray(FR.encode(FR.modulus - zt_u)),
         jnp.asarray(FR.encode(const_corr)),

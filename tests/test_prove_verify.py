@@ -490,3 +490,32 @@ def test_split_shplonk_h_matches_monolithic(setup):
     mono = ph.shplonk_h(f_acc, zt_m)
     split = ph.shplonk_h_large(f_acc, zt_m)
     assert np.array_equal(np.asarray(mono), np.asarray(split))
+
+
+def test_split_shplonk_l_matches_monolithic(setup):
+    """shplonk_l_large (one transform per executable) must be
+    value-identical to the fused L-witness graph."""
+    import jax.numpy as jnp
+
+    from halo2_aes_tpu.backend import prover as PRV
+    from halo2_aes_tpu.ops import field as F
+
+    _, _, pk = setup
+    ph = PRV._get_phases(pk)
+    FR = F.FR
+    rng = np.random.default_rng(9)
+    K = len(ph.shp_sets)
+
+    def rnd(rows):
+        return jnp.asarray(FR.encode(
+            rng.integers(1, 2**62, rows, dtype=np.int64).tolist()))
+
+    poly_flat, h_shp = rnd(K * ph.n), rnd(ph.n)
+    svals = rnd(K)
+    neg_zt_u, const_corr, u_m = (jnp.asarray(FR.encode(v))
+                                 for v in (23, 29, 31))
+    mono = ph.shplonk_l(poly_flat, svals, h_shp, neg_zt_u, const_corr,
+                        u_m)
+    split = ph.shplonk_l_large(poly_flat, svals, h_shp, neg_zt_u,
+                               const_corr, u_m)
+    assert np.array_equal(np.asarray(mono), np.asarray(split))
