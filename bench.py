@@ -224,12 +224,15 @@ def _mock_fallback(note: str) -> dict:
 
 
 def _stale_fallback(cfg: dict, note: str) -> dict | None:
-    """Best HARDWARE-VERIFIED number on record, labeled stale."""
+    """Best HARDWARE-VERIFIED number on record, labeled stale.
+
+    The metric name carries a ``_stale`` suffix so no consumer can
+    credit a replayed record as this run's measurement (ADVICE r4)."""
     bps = cfg.get("steady_blocks_per_sec")
     if not cfg.get("verified") or not bps:
         return None
     return {
-        "metric": f"aes128_prove_blocks_per_sec_k{cfg['k']}_warm",
+        "metric": f"aes128_prove_blocks_per_sec_k{cfg['k']}_warm_stale",
         "value": float(bps),
         "unit": "blocks/s",
         "vs_baseline": round(float(bps) / ESTIMATED_RUST_BLOCKS_PER_SEC, 2),
@@ -288,31 +291,45 @@ def main() -> None:
     _tick(f"config k={cfg['k']} sets={cfg['n_sets']} "
           f"blocks={cfg['n_blocks']} tagged={cfg.get('tagged_ops', False)}; "
           f"budget {budget:.0f}s")
+    # Retry the child while total wall < 2x budget: the persistent XLA
+    # cache makes every attempt strictly incremental — a child killed
+    # mid-compile-storm leaves its finished executables on disk, so the
+    # next child resumes where it died (VERDICT r4 task 1a).
+    deadline = time.monotonic() + 2.0 * budget
     note = None
-    try:
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--prove-child"],
-            stdout=subprocess.PIPE, stderr=None, text=True, cwd=REPO,
-            start_new_session=True)
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining < 120.0:
+            break
         try:
-            stdout, _ = proc.communicate(timeout=budget)
-            if proc.returncode == 0:
-                out = json.loads(stdout.strip().splitlines()[-1])
-                _record_success(out)
-                _emit(out)
-                return
-            note = f"measurement child rc={proc.returncode}"
-        except subprocess.TimeoutExpired:
-            import signal
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--prove-child"],
+                stdout=subprocess.PIPE, stderr=None, text=True, cwd=REPO,
+                start_new_session=True)
+            try:
+                stdout, _ = proc.communicate(timeout=min(budget, remaining))
+                if proc.returncode == 0:
+                    out = json.loads(stdout.strip().splitlines()[-1])
+                    _record_success(out)
+                    _emit(out)
+                    return
+                note = f"measurement child rc={proc.returncode}"
+            except subprocess.TimeoutExpired:
+                import signal
 
-            try:  # reap the child's whole session (it may hold XLA threads)
-                os.killpg(proc.pid, signal.SIGKILL)
-            except (ProcessLookupError, PermissionError, OSError):
-                proc.kill()
-            proc.wait()
-            note = f"measurement child exceeded {budget:.0f}s (compile storm?)"
-    except (OSError, ValueError, IndexError) as e:
-        note = f"measurement child failed: {e!r}"
+                try:  # reap the child's whole session (XLA threads)
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError, OSError):
+                    proc.kill()
+                proc.wait()
+                note = (f"measurement child exceeded "
+                        f"{min(budget, remaining):.0f}s (compile storm?)")
+        except (OSError, ValueError, IndexError) as e:
+            note = f"measurement child failed: {e!r}"
+        _tick(f"attempt {attempt}: {note}")
+    note = note or "no attempt fit in the budget"
     _tick(note)
     out = _stale_fallback(cfg, note)
     if out is None:
