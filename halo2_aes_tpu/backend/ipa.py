@@ -29,12 +29,15 @@ which is exactly the binding assumption the argument needs.  Unlike the
 KZG dev SRS (srs.py: NOT a trusted setup), this setup is transparent and
 production-grade as-is.
 
-Zero-knowledge: hiding comes from the protocol's blinding rows and the
-random polynomial halo2 already folds into every opening set; the IPA
-recursion itself is run without per-round Pedersen blinds (halo2's
-`create_proof` blinds; this backend documents the difference — the
-blinded variant changes only the L/R point construction, not the
-protocol shape).
+Zero-knowledge: beyond the protocol's blinding rows and the random
+polynomial halo2 folds into every opening set, the recursion runs WITH
+per-round Pedersen blinds, matching halo2's `poly/ipa` create_proof:
+each L_j/R_j gains an r·W term over an independently hash-derived
+blinding point W, and the prover's final message carries the
+accumulated blind f = Σ_j (x_j^{-1}·r_Lj + x_j·r_Rj) which the
+verifier subtracts as [f]W in the closing MSM check.  The 2k round
+points are therefore uniformly distributed independently of L's
+coefficients.
 """
 
 from __future__ import annotations
@@ -113,14 +116,25 @@ def _mont_limbs_to_point(x_row: np.ndarray, y_row: np.ndarray) -> tuple:
             FQ.from_mont_host(F.limbs_to_int(y_row)))
 
 
+@functools.lru_cache(maxsize=None)
+def _blind_w(seed: bytes) -> tuple:
+    """The blinding point W: hash-derived in its OWN domain (seed
+    suffix), so no discrete-log relation to the basis G_i or U is
+    known — the binding assumption the blinded argument needs.  Derived
+    on demand (not stored in the basis npz) so pre-blind cached basis
+    files stay valid."""
+    wx, wy = _hash_to_curve(1, seed + b"/blind-W")
+    return _mont_limbs_to_point(wx[0], wy[0])
+
+
 def setup(k: int, seed: bytes = b"halo2_aes_tpu ipa basis",
           cache_dir: str | None = "ptau") -> SRS:
     """Transparent IPA basis: n hash-derived G1 points + the folding
-    point U.  Returned as an SRS instance (same ``commit`` /
-    ``warm_tables`` / ``identity_tag`` surface, so keygen and every
-    PLONK prover phase work unchanged); ``g1_extra`` is None — the
-    prover's tau^n stagger-blind is KZG algebra and is skipped, exactly
-    as for ceremony .srs files."""
+    point U + the blinding point W.  Returned as an SRS instance (same
+    ``commit`` / ``warm_tables`` / ``identity_tag`` surface, so keygen
+    and every PLONK prover phase work unchanged); ``g1_extra`` is None
+    — the prover's tau^n stagger-blind is KZG algebra and is skipped,
+    exactly as for ceremony .srs files."""
     path = None
     if cache_dir is not None:
         tag = hashlib.blake2b(seed, digest_size=8).hexdigest()
@@ -137,9 +151,11 @@ def setup(k: int, seed: bytes = b"halo2_aes_tpu ipa basis",
             np.savez(path, g1_x=gx, g1_y=gy, u_x=ux, u_y=uy)
     srs = SRS(k, jnp.asarray(gx), jnp.asarray(gy), PR.G2, PR.G2,
               cache_dir=cache_dir, g1_extra=None,
-              u_pt=_mont_limbs_to_point(ux, uy))
+              u_pt=_mont_limbs_to_point(ux, uy),
+              w_pt=_blind_w(seed))
     object.__setattr__(srs, "_tag",
-                       _tag_from_host(gx, gy, ("ipa", srs.u_pt)))
+                       _tag_from_host(gx, gy,
+                                      ("ipa2", srs.u_pt, srs.w_pt)))
     return srs
 
 
@@ -207,22 +223,39 @@ def _point_plus_u(pt: tuple, u_pt: tuple, scal: int) -> tuple:
     return pt if scal == 0 else CV.py_add(pt, CV.py_mul(u_pt, scal))
 
 
-def open_claim(srs: SRS, tr, l_coeffs, u: int) -> None:
+def _rand_scalar(rng) -> int:
+    """Uniform field scalar: 254-bit rejection sampling from the OS
+    CSPRNG (``rng=None``) or a np.random.Generator (reproducible
+    tests)."""
+    randbytes = os.urandom if rng is None else rng.bytes
+    while True:
+        v = int.from_bytes(randbytes(32), "little") & ((1 << 254) - 1)
+        if v < R:
+            return v
+
+
+def open_claim(srs: SRS, tr, l_coeffs, u: int, rng=None) -> None:
     """IPA opening of <a, b> = 0 for a = coeffs(L), b = (1, u, .., u^{n-1}).
 
-    Writes 2k points (L_j, R_j interleaved with per-round challenges)
-    and the final folded scalar a_fin to the transcript.  Fold
-    convention (matching the verifier's s-vector):
+    Writes 2k points (L_j, R_j interleaved with per-round challenges),
+    the final folded scalar a_fin, and the accumulated blind f_fin to
+    the transcript.  Fold convention (matching the verifier's s-vector):
         a' = a_lo + x a_hi,  b' = b_lo + x^{-1} b_hi,
         G' = G_lo + x^{-1} G_hi,
         P' = P + x^{-1} L_j + x R_j,
-        L_j = MSM(G_hi, a_lo) + <a_lo, b_hi> U,
-        R_j = MSM(G_lo, a_hi) + <a_hi, b_lo> U.
-    """
+        L_j = MSM(G_hi, a_lo) + <a_lo, b_hi> U + r_Lj W,
+        R_j = MSM(G_lo, a_hi) + <a_hi, b_lo> U + r_Rj W,
+    with fresh Pedersen blinds r_Lj, r_Rj per round (halo2 poly/ipa's
+    blinded rounds); f_fin = Σ_j (x_j^{-1} r_Lj + x_j r_Rj) closes the
+    W component in the verifier's final MSM."""
     k, n = srs.k, srs.n
+    assert srs.w_pt is not None, (
+        "ipa open_claim needs a basis with a blinding point W "
+        "(rebuild via ipa.setup)")
     a = l_coeffs
     b = jnp.asarray(F.powers(FR, jnp.asarray(FR.encode(u)), n))
     W = jnp.broadcast_to(jnp.asarray(FR.encode(1)), (n, F.LIMBS))
+    f_fin = 0
     for j in range(k):
         m = n >> j
         pre, fold = _round_jits(m, n)
@@ -232,14 +265,19 @@ def open_claim(srs: SRS, tr, l_coeffs, u: int) -> None:
         lm = CV.to_affine_host(jac_l)[0]
         rm = CV.to_affine_host(jac_r)[0]
         l_int, r_int = FR.decode(l_ip)[0], FR.decode(r_ip)[0]
-        tr.write_point(_point_plus_u(lm, srs.u_pt, l_int))
-        tr.write_point(_point_plus_u(rm, srs.u_pt, r_int))
+        r_l, r_r = _rand_scalar(rng), _rand_scalar(rng)
+        tr.write_point(_point_plus_u(
+            _point_plus_u(lm, srs.u_pt, l_int), srs.w_pt, r_l))
+        tr.write_point(_point_plus_u(
+            _point_plus_u(rm, srs.u_pt, r_int), srs.w_pt, r_r))
         x = tr.squeeze_challenge()
         xinv = pow(x, -1, R)
+        f_fin = (f_fin + xinv * r_l + x * r_r) % R
         a, b, W = fold(a, b, W, jnp.asarray(FR.encode(x)),
                        jnp.asarray(FR.encode(xinv)))
     a_fin = FR.decode(a)[0]
     tr.write_scalar(a_fin)
+    tr.write_scalar(f_fin)
 
 
 # --------------------------------------------------------------------------
@@ -252,10 +290,11 @@ def verify(vk, proof: bytes, instances=None, srs: SRS | None = None) -> bool:
     combination (shared with the KZG verifier), then the k-round check
 
         P_0 + sum_j (x_j^{-1} L_j + x_j R_j)
-            == a_fin MSM(G, s) + a_fin b_fin U
+            == a_fin MSM(G, s) + a_fin b_fin U + f_fin W
 
-    with s_i = prod_{j : bit_{k-1-j}(i)} x_j^{-1} and
-    b_fin = prod_j (1 + x_j^{-1} u^{n / 2^{j+1}}).  The size-n MSM runs
+    with s_i = prod_{j : bit_{k-1-j}(i)} x_j^{-1},
+    b_fin = prod_j (1 + x_j^{-1} u^{n / 2^{j+1}}), and f_fin the
+    prover's accumulated per-round Pedersen blind.  The size-n MSM runs
     on device through the same window-table kernel as commitments; no
     pairing is evaluated."""
     from halo2_aes_tpu.backend import verifier as VF
@@ -284,6 +323,7 @@ def verify(vk, proof: bytes, instances=None, srs: SRS | None = None) -> bool:
             scs += [xinv, x]
             b_fin = b_fin * (1 + xinv * pow(u, n >> (j + 1), R)) % R
         a_fin = tr.read_scalar()
+        f_fin = tr.read_scalar()
         tr.assert_consumed()
     except ValueError as e:
         raise VerifyError(str(e)) from e
@@ -297,8 +337,9 @@ def verify(vk, proof: bytes, instances=None, srs: SRS | None = None) -> bool:
         s = s + [v * xinv % R for v in s]
     g_fin = CV.to_affine_host(srs.commit(jnp.asarray(FR.encode(s))))[0]
 
-    pts += [g_fin, srs.u_pt]
-    scs += [-a_fin % R, -(a_fin * b_fin) % R]
+    assert srs.w_pt is not None, "ipa verify needs a basis with W"
+    pts += [g_fin, srs.u_pt, srs.w_pt]
+    scs += [-a_fin % R, -(a_fin * b_fin) % R, -f_fin % R]
     if CV.host_msm(pts, scs) is not None:
         raise VerifyError("ipa final check failed")
     return True

@@ -816,6 +816,55 @@ class _Phases:
             outs.append(acc)
         return jnp.concatenate(outs)
 
+    def shplonk_fold_large(self, coeffs_fn, members, w_np, B: int = 8):
+        """Chunked per-cluster member fold for k>=19.
+
+        The monolithic path concatenates ALL member polys into one
+        (M*n, 16) tensor before folding — ~3.5 GiB at k=20/n_sets=2 on
+        top of the resident proof state, the measured OOM that blocked
+        the 1540-block config.  This path streams each rotation-set
+        cluster in B-member slices: only one (B*n, 16) stack is ever
+        live, partial folds accumulate with a donated add.
+        Value-identical to shplonk_fold (regression-tested)."""
+        n = self.n
+        outs, idx = [], 0
+        for sz in self.shp_sizes:
+            acc = None
+            lo = idx
+            while lo < idx + sz:
+                sl = members[lo : min(lo + B, idx + sz)]
+                cnt = len(sl)
+                key = ("shp_fold", cnt)
+                fn = self._slice_jits.get(key)
+                if fn is None:
+                    def _fold(stack, w, _c=cnt):
+                        a = None
+                        for i in range(_c):
+                            t = F.mont_mul(FR, stack[i * n : (i + 1) * n],
+                                           w[i])
+                            a = t if a is None else F.add(FR, a, t)
+                        return a
+
+                    fn = jax.jit(_fold, donate_argnums=(0,))
+                    self._slice_jits[key] = fn
+                stack = jnp.concatenate([jnp.asarray(coeffs_fn(kk))
+                                         for kk in sl])
+                part = fn(stack, jnp.asarray(w_np[lo : lo + cnt]))
+                if acc is None:
+                    acc = part
+                else:
+                    akey = ("shp_fold_add",)
+                    addf = self._slice_jits.get(akey)
+                    if addf is None:
+                        addf = jax.jit(lambda a, b: F.add(FR, a, b),
+                                       donate_argnums=(0, 1))
+                        self._slice_jits[akey] = addf
+                    acc = addf(acc, part)
+                lo += cnt
+            outs.append(acc)
+            idx += sz
+        return jnp.concatenate(outs)
+
     def _shplonk_f(self, poly_flat, corr, zcs):
         """f(X) = sum_k v_k Z_{T\\S_k}(X) (p_k(X) - r_k(X)) over the
         rotation-set clusters (p_k, r_k already challenge-folded).
@@ -1632,8 +1681,14 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         r_at[gi] = (pts, ev_fold)
 
     _tick("shplonk:host-setup")
-    members_flat = jnp.concatenate([poly_coeffs(key) for key in members])
-    poly_flat = ph.shplonk_fold(members_flat, jnp.asarray(w_np))
+    if _large:
+        # chunked fold: never materializes the (M*n, 16) member concat
+        # (the measured k=20/n_sets=2 OOM site)
+        poly_flat = ph.shplonk_fold_large(poly_coeffs, members, w_np)
+    else:
+        members_flat = jnp.concatenate(
+            [poly_coeffs(key) for key in members])
+        poly_flat = ph.shplonk_fold(members_flat, jnp.asarray(w_np))
     f_acc = ph.shplonk_f(poly_flat, jnp.asarray(corr_np),
                          jnp.asarray(zcs_np))
     _tick("shplonk:f")
@@ -1681,10 +1736,17 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
         # a transparent basis has no g1_extra, so the stagger-blind
         # corrections (cn) are structurally zero on this path
         assert cn == 0, "ipa prove with KZG-blinded quotient pieces"
+        # a ceremony KZG SRS also has g1_extra=None (cn==0) but carries
+        # no u-point; without this guard the failure surfaces deep in
+        # _point_plus_u as CV.py_mul(None, ...) (ADVICE r4)
+        assert getattr(pk.srs, "u_pt", None) is not None, (
+            "ipa prove requires an IPA transparent basis from ipa.setup "
+            "(this SRS has no u-point; pass multiopen='shplonk' or "
+            "build the pk against ipa.setup(k))")
         l_poly = ph.ipa_l(poly_flat, jnp.asarray(svals_np), h_shp,
                           jnp.asarray(FR.encode(FR.modulus - zt_u)),
                           jnp.asarray(FR.encode(const_corr)))
-        IPA.open_claim(pk.srs, tr, l_poly, u)
+        IPA.open_claim(pk.srs, tr, l_poly, u, rng=rng)
         _tick("ipa:open")
         if ck:
             ck.clear()

@@ -50,6 +50,9 @@ class SRS:
     #   the prover then skips the piece blinds.
     u_pt: tuple | None = None      # IPA folding point U (plain affine ints);
     #   set only by backend/ipa.py's transparent setup — None for KZG.
+    w_pt: tuple | None = None      # IPA blinding point W (plain affine ints):
+    #   carries the per-round Pedersen blinds of the opening argument
+    #   (halo2 poly/ipa's W); hash-derived in backend/ipa.py, None for KZG.
 
     @property
     def n(self) -> int:

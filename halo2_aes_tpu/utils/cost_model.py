@@ -169,7 +169,9 @@ def estimate(layout: CompiledCircuit, multiopen: str = "shplonk") -> CostModel:
     if multiopen == "shplonk":
         n_open, extra_scalars = 2, 0
     elif multiopen == "ipa":
-        n_open, extra_scalars = 1 + 2 * layout.k, 1
+        # H commit + 2k blinded round points + a_fin + the accumulated
+        # per-round Pedersen blind f_fin
+        n_open, extra_scalars = 1 + 2 * layout.k, 2
     else:
         n_open, extra_scalars = len({rot for _, rot in plan}), 0
     points = n_adv + 2 * n_lk + chunks + n_lk + 1 + (degree - 1) + n_open
