@@ -492,6 +492,32 @@ def test_split_shplonk_h_matches_monolithic(setup):
     assert np.array_equal(np.asarray(mono), np.asarray(split))
 
 
+def test_chunked_shplonk_fold_matches_monolithic(setup):
+    """shplonk_fold_large (the k>=19 chunked member fold that avoids
+    the (M*n, 16) concat — the measured k=20/n_sets=2 OOM) must be
+    value-identical to the monolithic weighted fold."""
+    import jax.numpy as jnp
+
+    from halo2_aes_tpu.backend import prover as PRV
+    from halo2_aes_tpu.ops import field as F
+
+    _, _, pk = setup
+    ph = PRV._get_phases(pk)
+    FR = F.FR
+    rng = np.random.default_rng(11)
+    M = sum(ph.shp_sizes)
+    polys = {i: jnp.asarray(FR.encode(
+        rng.integers(1, 2**62, ph.n, dtype=np.int64).tolist()))
+        for i in range(M)}
+    w_np = np.asarray(F.ints_to_limbs_fast(
+        [FR.to_mont_host(int(rng.integers(1, 2**61))) for _ in range(M)]))
+    members_flat = jnp.concatenate([polys[i] for i in range(M)])
+    mono = ph.shplonk_fold(members_flat, jnp.asarray(w_np))
+    chunked = ph.shplonk_fold_large(lambda i: polys[i], list(range(M)),
+                                    w_np, B=2)  # forces full + remainder
+    assert np.array_equal(np.asarray(mono), np.asarray(chunked))
+
+
 def test_split_shplonk_l_matches_monolithic(setup):
     """shplonk_l_large (one transform per executable) must be
     value-identical to the fused L-witness graph."""
