@@ -139,9 +139,128 @@ def permuted_indices_field(a_std, s_std, usable: int):
     return a_order, table_perm
 
 
+def permuted_indices_field_many(a_std, s_std, L: int, usable: int):
+    """Batched ``permuted_indices_field`` over L lookups at once.
+
+    ``a_std``/``s_std``: FLAT (L*usable, LIMBS) standard-form limbs
+    (lookup l's rows at [l*usable, (l+1)*usable)).  Returns
+    (a_order, table_perm) as (L, usable) int32 — identical per lookup
+    to the single-lookup builder (regression-tested), but every radix
+    pass is ONE batched sort across all lookups instead of L separate
+    sort chains (the lookup phase dispatched L*8 stable argsorts; at
+    n_sets=4 that serialized to ~12 s of the prove)."""
+    u = usable
+    M = 2 * u
+    HI = jnp.int32(M)            # out-of-range sentinel (per-row space)
+
+    def words(x):
+        x = x.astype(jnp.uint32)
+        return [(x[:, 2 * j + 1] << 16) | x[:, 2 * j] for j in range(8)]
+
+    # (L, 2u) per radix word: [input rows | table rows] per lookup
+    comb = [jnp.concatenate([a.reshape(L, u), s.reshape(L, u)], axis=1)
+            for a, s in zip(words(a_std), words(s_std))]
+    order = jnp.argsort(comb[0], axis=1, stable=True)
+    for j in range(1, 8):
+        order = jnp.take_along_axis(
+            order,
+            jnp.argsort(jnp.take_along_axis(comb[j], order, axis=1),
+                        axis=1, stable=True),
+            axis=1)
+    sk = [jnp.take_along_axis(c, order, axis=1) for c in comb]
+    is_input = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.arange(M)[None, :] < u, (L, M)), order, axis=1)
+    neq = sk[0][:, 1:] != sk[0][:, :-1]
+    for j in range(1, 8):
+        neq = neq | (sk[j][:, 1:] != sk[j][:, :-1])
+    group_start = jnp.concatenate(
+        [jnp.ones((L, 1), bool), neq], axis=1)
+    gid = jnp.cumsum(group_start, axis=1) - 1              # (L, 2u)
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (L, M))
+
+    # flat scatter offsets (per-row spaces packed back to back)
+    row2 = (jnp.arange(L, dtype=jnp.int32) * M)[:, None]   # (L,1)
+    rowu = (jnp.arange(L, dtype=jnp.int32) * u)[:, None]
+    drop_u = jnp.int32(L * u)
+
+    rank_in = jnp.cumsum(is_input, axis=1) - 1
+    a_order = jnp.zeros(L * u, jnp.int32).at[
+        jnp.where(is_input, rank_in + rowu, drop_u).reshape(-1)
+    ].set(order.astype(jnp.int32).reshape(-1), mode="drop").reshape(L, u)
+
+    gid_flat = (gid + row2).reshape(-1)
+    first_in_pos = jnp.full(L * M, HI, jnp.int32).at[gid_flat].min(
+        jnp.where(is_input, pos, HI).reshape(-1)).reshape(L, M)[
+        jnp.arange(L)[:, None], jnp.minimum(gid, M - 1)]
+    first_tab_pos = jnp.full(L * M, HI, jnp.int32).at[gid_flat].min(
+        jnp.where(is_input, HI, pos).reshape(-1)).reshape(L, M)[
+        jnp.arange(L)[:, None], jnp.minimum(gid, M - 1)]
+    first_flag = is_input & (pos == first_in_pos)
+    safe_tab_pos = jnp.clip(first_tab_pos, 0, M - 1)
+    match_row = jnp.clip(
+        jnp.take_along_axis(order, safe_tab_pos, axis=1) - u, 0, u - 1)
+
+    firstA = jnp.zeros(L * u, bool).at[
+        jnp.where(is_input, rank_in + rowu, drop_u).reshape(-1)
+    ].set(first_flag.reshape(-1), mode="drop").reshape(L, u)
+    matchA = jnp.zeros(L * u, jnp.int32).at[
+        jnp.where(is_input, rank_in + rowu, drop_u).reshape(-1)
+    ].set(match_row.astype(jnp.int32).reshape(-1),
+          mode="drop").reshape(L, u)
+
+    used = jnp.zeros(L * u, bool).at[
+        jnp.where(first_flag, match_row + rowu, drop_u).reshape(-1)
+    ].set(True, mode="drop").reshape(L, u)
+    rank_tab = jnp.cumsum(~is_input, axis=1) - 1
+    s_order = jnp.zeros(L * u, jnp.int32).at[
+        jnp.where(is_input, drop_u, rank_tab + rowu).reshape(-1)
+    ].set((order - u).astype(jnp.int32).reshape(-1),
+          mode="drop").reshape(L, u)
+    rem = jnp.take_along_axis(
+        s_order,
+        jnp.argsort(jnp.take_along_axis(used, s_order, axis=1)
+                    .astype(jnp.int32), axis=1, stable=True),
+        axis=1)
+    fill_rank = jnp.cumsum(~firstA, axis=1) - 1
+    table_perm = jnp.where(
+        firstA, matchA,
+        jnp.take_along_axis(rem, jnp.clip(fill_rank, 0), axis=1))
+    return a_order, table_perm
+
+
 def apply_permutation(field_col, perm, blinding):
     """Gather field rows by perm and append blinding tail -> (n, LIMBS)."""
     return jnp.concatenate([jnp.take(field_col, perm, axis=0), blinding], axis=0)
+
+
+def grand_product_many(a, s, a_perm, s_perm, L: int, usable: int,
+                       beta_m, gamma_m, blinding):
+    """All L lookups' z columns in one pass over FLAT (L*n, 16) tensors
+    (lookup l at rows [l*n, (l+1)*n)); blinding (L, blind_rows, 16).
+
+    Identical math to per-lookup ``grand_product`` (regression-tested)
+    but ONE batched inversion (one Fermat chain instead of L) and ONE
+    flag-segmented scan (log(L*n) combine rounds instead of L separate
+    scan chains) — the per-lookup loop's launch latency dominated the
+    product phase at n_sets=4."""
+    m = a.shape[0]
+    n = m // L
+    bf = blinding.shape[1]
+    one = jnp.asarray(FR.one_mont)
+    num = F.mont_mul(FR, F.add(FR, a, beta_m), F.add(FR, s, gamma_m))
+    den = F.mont_mul(FR, F.add(FR, a_perm, beta_m),
+                     F.add(FR, s_perm, gamma_m))
+    ratio = F.mont_mul(FR, num, F.batch_inv(FR, den))
+    offs = jnp.arange(m) % n
+    ratio = F.select(offs < usable, ratio,
+                     jnp.broadcast_to(one, ratio.shape))
+    cum = F.cumprod_segmented(FR, ratio, n)
+    # z[seg][0] = 1, z[seg][j] = cum[seg][j-1]
+    z = jnp.concatenate([one[None], cum[:-1]], axis=0)
+    z = F.select(offs == 0, jnp.broadcast_to(one, z.shape), z)
+    tail_idx = (jnp.arange(L)[:, None] * n
+                + (n - bf) + jnp.arange(bf)[None, :]).reshape(-1)
+    return z.at[tail_idx].set(blinding.reshape(L * bf, F.LIMBS))
 
 
 def grand_product(a, s, a_perm, s_perm, usable: int, beta_m, gamma_m, blinding):

@@ -295,6 +295,7 @@ class _Phases:
             for i in range(self.n_lk)
         ]
         self.lookup_product = wrap(self._lookup_product)
+        self.lookup_products_all = wrap(self._lookup_products_all)
         self.intt_nlk = wrap(
             lambda flat: self._ntt_many(flat, self.n_lk, inverse=True))
         # Donation audit (r3 bench tail warnings): jax only honors a
@@ -463,20 +464,39 @@ class _Phases:
             v = values_u32[col].astype(jnp.int32)
             return jnp.roll(v, -rot) if rot else v
 
-        a_primes, s_primes = [], []
-        for li, lk in enumerate(self.cs.lookups):
-            a_fld = PROTO.compressed_input(Ctx, lk)
-            s_fld = PROTO.compressed_table(Ctx, lk)
-            if self.lookup_sort == "field":
-                # halo2's permuted-pair ordering: sort by the CANONICAL
-                # field value of the theta-compressed scalars (halo2
-                # lookup::permute_expression_pair + Fr's Ord).  theta is
-                # a per-proof challenge, so the sort runs on device.
-                a_ord, s_ord = LK.permuted_indices_field(
-                    F.from_mont(FR, a_fld[:usable]),
-                    F.from_mont(FR, s_fld[:usable]), usable)
-            else:
-                # fast path: sort on packed byte tuples (requires
+        if self.lookup_sort == "field":
+            # halo2's permuted-pair ordering: sort by the CANONICAL
+            # field value of the theta-compressed scalars (halo2
+            # lookup::permute_expression_pair + Fr's Ord).  theta is a
+            # per-proof challenge, so the sort runs on device — and all
+            # L lookups sort in ONE batched radix pass (the per-lookup
+            # chain was L*8 separate stable argsorts, ~12 s serialized
+            # at n_sets=4).
+            L = self.n_lk
+            u = usable
+            a_us = jnp.concatenate(
+                [PROTO.compressed_input(Ctx, lk)[:u]
+                 for lk in self.cs.lookups])
+            s_us = jnp.concatenate(
+                [PROTO.compressed_table(Ctx, lk)[:u]
+                 for lk in self.cs.lookups])
+            a_ord, t_perm = LK.permuted_indices_field_many(
+                F.from_mont(FR, a_us), F.from_mont(FR, s_us), L, u)
+            rowu = jnp.arange(L, dtype=jnp.int32)[:, None] * u
+            a_pr = jnp.take(a_us, (a_ord + rowu).reshape(-1), axis=0)
+            s_pr = jnp.take(s_us, (t_perm + rowu).reshape(-1), axis=0)
+            a_prime = jnp.concatenate(
+                [x for l in range(L)
+                 for x in (a_pr[l * u : (l + 1) * u], bl_a[l])])
+            s_prime = jnp.concatenate(
+                [x for l in range(L)
+                 for x in (s_pr[l * u : (l + 1) * u], bl_s[l])])
+        else:
+            a_primes, s_primes = [], []
+            for li, lk in enumerate(self.cs.lookups):
+                a_fld = PROTO.compressed_input(Ctx, lk)
+                s_fld = PROTO.compressed_table(Ctx, lk)
+                # compat path: sort on packed byte tuples (requires
                 # byte-ranged table columns; different proof bytes, same
                 # argument — any valid grouping order verifies)
                 packed_a = _pack_u32([e.eval(_Int32Alg, col_i32)
@@ -484,12 +504,12 @@ class _Phases:
                 t_sorted, t_order = _table_sort(self.layout, li, usable)
                 a_ord, s_ord = LK.permuted_indices(packed_a, t_sorted,
                                                    t_order, usable)
-            a_primes.append(LK.apply_permutation(a_fld[:usable], a_ord,
-                                                 bl_a[li]))
-            s_primes.append(LK.apply_permutation(s_fld[:usable], s_ord,
-                                                 bl_s[li]))
-        a_prime = jnp.concatenate(a_primes)
-        s_prime = jnp.concatenate(s_primes)
+                a_primes.append(LK.apply_permutation(a_fld[:usable],
+                                                     a_ord, bl_a[li]))
+                s_primes.append(LK.apply_permutation(s_fld[:usable],
+                                                     s_ord, bl_s[li]))
+            a_prime = jnp.concatenate(a_primes)
+            s_prime = jnp.concatenate(s_primes)
         a_coeffs = self._ntt_many(a_prime, self.n_lk, inverse=True)
         s_coeffs = self._ntt_many(s_prime, self.n_lk, inverse=True)
         return a_prime, s_prime, a_coeffs, s_coeffs
@@ -539,9 +559,38 @@ class _Phases:
 
     def _lookup_product(self, a_fld, s_fld, ap, sp, beta_m, gamma_m, blind):
         """One lookup's grand product z (n, 16); shape-uniform across
-        lookups so all of them share one compile."""
+        lookups so all of them share one compile.  k>=19 only — the
+        streamed per-lookup path bounds the resident set; smaller
+        domains use the fused _lookup_products_all."""
         return LK.grand_product(a_fld, s_fld, ap, sp,
                                 self.usable, beta_m, gamma_m, blind)
+
+    def _lookup_products_all(self, all_fld, lk_ap, lk_sp, theta_m,
+                             beta_m, gamma_m, blinds):
+        """ALL lookups' theta-compressions + grand products fused into
+        ONE executable over FLAT (L*n, 16) tensors: one batched
+        inversion (one Fermat chain instead of L) and one flag-segmented
+        scan (see lookup.grand_product_many) — the per-lookup
+        compress/product/inv dispatch loop serialized to 42 s of the
+        81 s k=17/n_sets=4 profiled prove."""
+        n = self.n
+
+        def col_fld(col, rot):
+            v = all_fld[col * n : (col + 1) * n]
+            return jnp.roll(v, -rot, axis=0) if rot else v
+
+        class Ctx(PROTO.Context):
+            alg = DeviceAlgebra
+            theta = theta_m
+            column = staticmethod(col_fld)
+
+        a_all = jnp.concatenate([PROTO.compressed_input(Ctx, lk)
+                                 for lk in self.cs.lookups])
+        s_all = jnp.concatenate([PROTO.compressed_table(Ctx, lk)
+                                 for lk in self.cs.lookups])
+        return LK.grand_product_many(a_all, s_all, lk_ap, lk_sp,
+                                     self.n_lk, self.usable,
+                                     beta_m, gamma_m, blinds)
 
     # -- phase 4: quotient on sub-cosets ----------------------------------
 
@@ -1384,7 +1433,16 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
                     gamma_m, z_blind)))
         else:
             z_perm_coeffs = jnp.zeros((0, F.LIMBS), jnp.uint32)
-        if ph.n_lk:
+        if ph.n_lk and not _large:
+            # fused path: all compressions + products in one executable
+            z_all = ph.lookup_products_all(
+                all_fld, jnp.asarray(lk_ap), jnp.asarray(lk_sp),
+                theta_m, beta_m, gamma_m, lkz_blind)
+            lkz_coeffs = _sync_tick("products:lookup-z",
+                                    ph.intt_nlk(z_all))
+        elif ph.n_lk:
+            # k>=19: streamed per-lookup (bounds the resident set +
+            # drains the queue — the k=20 HBM discipline)
             lkzs = []
             for i in range(ph.n_lk):
                 a_fld, s_fld = ph.compress_lk[i](all_fld, theta_m)

@@ -484,6 +484,42 @@ def _cumprod_blocked(spec: FieldSpec, a):
     return jnp.concatenate(pieces, axis=0)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def cumprod_segmented(spec: FieldSpec, a, seg_len: int):
+    """Per-segment inclusive cumulative product of flat (S*seg_len, 16):
+    segment s occupies rows [s*seg_len, (s+1)*seg_len) and scans restart
+    at each segment start.
+
+    ONE flag-carrying associative scan over the whole flat tensor
+    (combine: (f1,v1)x(f2,v2) -> (f1|f2, f2 ? v2 : v1*v2) — associative,
+    so blocking composes the same way) instead of S separate scan
+    chains: the per-lookup grand-product loop dispatched S*log(n) small
+    kernels, the dominant serialized cost of the product phase at
+    n_sets=4 (measured 42 s of an 81 s serialized k=17 prove)."""
+    m = a.shape[0]
+    assert m % seg_len == 0
+    flags = (jnp.arange(m) % seg_len) == 0
+
+    def comb(x, y):
+        fx, vx = x
+        fy, vy = y
+        return (fx | fy, jnp.where(fy[:, None], vy, mont_mul(spec, vx, vy)))
+
+    pieces = []
+    carry = None
+    for lo in range(0, m, _SCAN_BLOCK):
+        hi = min(lo + _SCAN_BLOCK, m)
+        fb, vb = flags[lo:hi], a[lo:hi]
+        sf, sv = jax.lax.associative_scan(comb, (fb, vb), axis=0)
+        if carry is not None:
+            cf, cv = carry
+            sv = jnp.where(sf[:, None], sv, mont_mul(spec, sv, cv))
+            sf = sf | cf
+        pieces.append(sv)
+        carry = (sf[-1], sv[-1])
+    return jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def batch_inv(spec: FieldSpec, a):
     """Invert a batch (n, 16) with one field inversion + O(n) muls.

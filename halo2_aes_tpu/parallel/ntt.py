@@ -77,6 +77,28 @@ def _sharded_fn(mesh, axis: str, dom: Domain, inverse: bool, count: int,
         jax.vmap(lambda r: ntt(dom2, r, inverse=inverse),
                  in_axes=0, out_axes=0))
 
+    # the LOCAL stages run under shard_map: each device transforms its
+    # own (count, n1, n2/D) / (count, n1/D, n2) block with ordinary
+    # single-device NTT bodies, so the SPMD partitioner never has to
+    # guess shardings for the butterfly gathers — the r4 dryrun logged
+    # "[SPMD] Involuntary full rematerialization" on exactly those
+    # gathers (it replicated the tensor as a last resort).  The one
+    # collective left is the explicit by_col -> by_row reshard (XLA
+    # lowers it to an all-to-all over ICI).
+    # check_vma=False: the compact field kernels' fori_loop carries mix
+    # unvarying twiddle constants with device-varying data, which the
+    # replication checker rejects; the specs above are authoritative.
+    stage1 = jax.shard_map(
+        lambda a_blk, tw_blk: F.mont_mul(spec, col_ntt(a_blk),
+                                         tw_blk[None]),
+        mesh=mesh,
+        in_specs=(P(None, None, axis, None), P(None, axis, None)),
+        out_specs=P(None, None, axis, None), check_vma=False)
+    stage2 = jax.shard_map(
+        row_ntt, mesh=mesh,
+        in_specs=P(None, axis, None, None),
+        out_specs=P(None, axis, None, None), check_vma=False)
+
     @functools.partial(jax.jit, out_shardings=flat)
     def run(x, shift_pows):
         if with_shift:
@@ -84,9 +106,9 @@ def _sharded_fn(mesh, axis: str, dom: Domain, inverse: bool, count: int,
         tw = _twiddle_matrix(dom, n1, n2, inverse)
         a = jax.lax.with_sharding_constraint(
             x.reshape(count, n1, n2, F.LIMBS), by_col)
-        b = F.mont_mul(spec, col_ntt(a), tw[None])
+        b = stage1(a, tw)
         c = jax.lax.with_sharding_constraint(b, by_row)   # the all-to-all
-        d = row_ntt(c)
+        d = stage2(c)
         return jnp.swapaxes(d, 1, 2).reshape(count * dom.n, F.LIMBS)
 
     _FN_CACHE[key] = run

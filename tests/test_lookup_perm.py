@@ -110,6 +110,61 @@ def test_packed_random_and_degenerate():
                         a_order, table_perm)
 
 
+def test_field_many_matches_single():
+    """The batched radix construction must be index-identical per
+    lookup to the single-lookup builder (it replaced the per-lookup
+    sort chain in the prover's lookup phase)."""
+    rng = np.random.default_rng(13)
+    u, L = 64, 5
+    a_int, s_int = [], []
+    for l in range(L):
+        pool = [int.from_bytes(rng.bytes(32), "little") % FR.modulus
+                for _ in range(10 + l)]
+        s_l = [pool[int(rng.integers(0, len(pool)))] for _ in range(u)]
+        a_l = [s_l[int(rng.integers(0, u))] for _ in range(u)]
+        s_int.append(s_l)
+        a_int.append(a_l)
+    # degenerate lookup in the batch: all-equal values
+    a_int[2] = [a_int[2][0]] * u
+    s_int[2] = [a_int[2][0]] * u
+    a_std = jnp.asarray(F.ints_to_limbs_fast(sum(a_int, [])))
+    s_std = jnp.asarray(F.ints_to_limbs_fast(sum(s_int, [])))
+    a_ord_b, t_perm_b = LK.permuted_indices_field_many(a_std, s_std, L, u)
+    for l in range(L):
+        a_ord_1, t_perm_1 = LK.permuted_indices_field(
+            a_std[l * u : (l + 1) * u], s_std[l * u : (l + 1) * u], u)
+        np.testing.assert_array_equal(np.asarray(a_ord_b[l]),
+                                      np.asarray(a_ord_1))
+        np.testing.assert_array_equal(np.asarray(t_perm_b[l]),
+                                      np.asarray(t_perm_1))
+        _check_contract(a_int[l], s_int[l], a_ord_b[l], t_perm_b[l])
+
+
+def test_grand_product_many_matches_single():
+    """grand_product_many (one batched inversion + one flag-segmented
+    scan) must be value-identical to the per-lookup grand_product loop
+    it replaced in the product phase."""
+    rng = np.random.default_rng(17)
+    n, u, L, bf = 32, 26, 3, 5
+
+    def rnd(rows):
+        return jnp.asarray(FR.encode(
+            [int(v) for v in rng.integers(1, 2**61, rows)]))
+
+    a, s = rnd(L * n), rnd(L * n)
+    ap, sp = rnd(L * n), rnd(L * n)
+    beta, gamma = (jnp.asarray(FR.encode(v)) for v in (7, 11))
+    blinds = rnd(L * bf).reshape(L, bf, F.LIMBS)
+    batched = LK.grand_product_many(a, s, ap, sp, L, u, beta, gamma,
+                                    blinds)
+    for l in range(L):
+        sl = slice(l * n, (l + 1) * n)
+        single = LK.grand_product(a[sl], s[sl], ap[sl], sp[sl], u,
+                                  beta, gamma, blinds[l])
+        np.testing.assert_array_equal(np.asarray(batched[sl]),
+                                      np.asarray(single))
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_field_matches_packed_grouping(seed):
     """On byte-tuple-ranged data both orderings satisfy the same
