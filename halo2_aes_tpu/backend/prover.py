@@ -896,8 +896,11 @@ class _Phases:
 
                     fn = jax.jit(_fold, donate_argnums=(0,))
                     self._slice_jits[key] = fn
-                stack = jnp.concatenate([jnp.asarray(coeffs_fn(kk))
-                                         for kk in sl])
+                parts = [jnp.asarray(coeffs_fn(kk)) for kk in sl]
+                # single-poly slice: concatenate would alias the
+                # resident poly and the donated fold would delete it
+                stack = (jnp.concatenate(parts) if len(parts) > 1
+                         else parts[0].copy())
                 part = fn(stack, jnp.asarray(w_np[lo : lo + cnt]))
                 if acc is None:
                     acc = part
@@ -1538,9 +1541,17 @@ def prove(pk: ProvingKey, values_u32, instances=None, seed=None,
             else:
                 # rebuilt per sub-coset so the NTT can DONATE it (input
                 # aval == output aval; holding one stack across all R
-                # sub-cosets forced input+output copies to coexist)
-                dyn_stack = jnp.concatenate(
-                    [jnp.asarray(coeffs_for(key)) for key in ph.q_dyn_keys])
+                # sub-cosets forced input+output copies to coexist).
+                # A SINGLE dyn poly needs an explicit copy: concatenate
+                # of one array (and a full slice) returns the SAME
+                # Array object, so the donation would delete the
+                # resident coefficient tensor (measured: adv_coeffs
+                # deleted on the second sub-coset of a 1-advice
+                # degenerate circuit)
+                parts = [jnp.asarray(coeffs_for(key))
+                         for key in ph.q_dyn_keys]
+                dyn_stack = (jnp.concatenate(parts) if len(parts) > 1
+                             else parts[0].copy())
                 dyn_evals = _drain(ph.quotient_dyn_evals(dyn_stack,
                                                          shift_pows))
                 del dyn_stack
