@@ -633,18 +633,25 @@ class _Phases:
 
     def static_subcoset_evals(self, s: int):
         """Sub-coset evaluations of the static quotient polys, cached
-        per pk per sub-coset (they are proof-independent)."""
+        per pk per sub-coset (they are proof-independent).
+
+        Small domains keep them on DEVICE.  k>=19 RECOMPUTES them per
+        proof: a host-RAM cache (~22 GB at k=20: 44 keys x 8 sub-cosets
+        x 64 MB, re-uploaded 2.75 GB per sub-coset) was built and
+        MEASURED SLOWER on this deployment — warm prove 771.8 s vs
+        724.6 s recomputing — because the axon tunnel's host->device
+        upload bandwidth (~35 MB/s, same reason the 2.9 GB MSM-table
+        reload costs ~80 s) undercuts the sliced coset-NTT recompute
+        rate.  On locally-attached HBM the cache would win; revisit
+        with a faster interconnect."""
         out = self._static_evals.get(s)
         if out is None:
             shift_np, _ = _subcoset_tables_np(self.k, self.ext_k, s)
-            # cache only while the full set fits a modest HBM slice
-            # (k=20 static evals would be ~9 GB — recompute per proof
-            # there instead of starving the quotient phase)
+            # device-cache only while the full set fits a modest HBM
+            # slice (k=20 static evals would be ~22 GB)
             total = (len(self.q_static_keys) * self.ratio
                      * self.n * F.LIMBS * 4)
             if total > (1 << 31):
-                # uncached = the k>=19 regime: slice the NTT so its
-                # workspace stays bounded (see evals_sliced)
                 return self.evals_sliced(self.q_static_keys,
                                          self._coeffs_static,
                                          jnp.asarray(shift_np))
