@@ -92,7 +92,7 @@ def test_mesh_aes_shaped_prove():
     layout = MINI.compile_mini_circuit(cfg)
     # the AES shape survived compilation: both sets' chips fire
     assert len(layout.cs.lookups) >= 5
-    assert any(g.name == "Equality RC" for g in layout.cs.gates)
+    assert any(name == "Equality RC" for name, _ in layout.cs.gates)
 
     rng = np.random.default_rng(2)
     key = jnp.asarray(rng.integers(0, 16, 16, dtype=np.uint8))
