@@ -282,12 +282,29 @@ def main() -> None:
     if os.environ.get("BENCH_MOCK") == "1":
         _emit(bench_mock())
         return
-    if not _device_reachable():
-        _emit(_mock_fallback("device unreachable; CPU fallback metric"))
-        return
-
     cfg = _read_config()
     budget = float(os.environ.get("BENCH_TIMEOUT_S", "1260"))
+    # The axon pool grant wedges for tens of minutes after an unclean
+    # process death (measured r5: probes hang, 100% iowait).  Spend up
+    # to half the budget probing before giving up — a wedge that clears
+    # mid-window still yields a live number.
+    probe_deadline = time.monotonic() + 0.5 * budget
+    reachable = False
+    while True:
+        if _device_reachable():
+            reachable = True
+            break
+        if time.monotonic() >= probe_deadline:
+            break
+        _tick("device unreachable; re-probing (axon pool wedge?)")
+        time.sleep(60)
+    if not reachable:
+        out = _stale_fallback(cfg, "device unreachable after probe window")
+        if out is None:
+            out = _mock_fallback("device unreachable; CPU fallback metric")
+        _emit(out)
+        return
+
     _tick(f"config k={cfg['k']} sets={cfg['n_sets']} "
           f"blocks={cfg['n_blocks']} tagged={cfg.get('tagged_ops', False)}; "
           f"budget {budget:.0f}s")
