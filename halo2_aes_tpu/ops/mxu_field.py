@@ -136,6 +136,41 @@ def _fold_to_limbs(conv, out_limbs: int) -> jnp.ndarray:
     return jnp.sum(g * w, axis=-1)
 
 
+def carry_norm_ks(acc, out_limbs: int) -> jnp.ndarray:
+    """Log-depth carry normalization (Kogge-Stone), replacing the
+    sequential per-limb chain for the MXU path's 17-34-limb values.
+
+    ``acc``: u32[..., m] redundant 16-bit limbs, each < 2^31.  Two
+    split-add passes leave every limb <= 0x10000 (residue + at most one
+    carry bit); the remaining ripple is a generate/propagate prefix
+    scan (g = limb > 0xFFFF, p = limb == 0xFFFF), associative, done in
+    ceil(log2 m) steps by jax.lax.associative_scan.
+    """
+    m = acc.shape[-1]
+    v = acc
+    for _ in range(2):
+        c = v >> F.LIMB_BITS
+        v = (v & _mask_u32()) + jnp.concatenate(
+            [jnp.zeros((*c.shape[:-1], 1), _U32), c[..., :-1]], axis=-1)
+    g = (v > _mask_u32()).astype(_U32)
+    p = (v == _mask_u32()).astype(_U32)
+
+    def combine(a_, b_):
+        ga, pa = a_
+        gb, pb = b_
+        return gb | (pb & ga), pb & pa
+
+    gs, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
+    cin = jnp.concatenate(
+        [jnp.zeros((*gs.shape[:-1], 1), _U32), gs[..., :-1]], axis=-1)
+    out = (v + cin) & _mask_u32()
+    return out[..., :out_limbs]
+
+
+def _mask_u32():
+    return _U32(0xFFFF)
+
+
 def _dot_i8(a, B) -> jnp.ndarray:
     """nibble [..., K] @ nibble [K, M] -> int32 [..., M] on the MXU.
 
@@ -162,7 +197,7 @@ def reduce_wide(spec: F.FieldSpec, t_norm) -> jnp.ndarray:
     t_lo = t_norm[..., :RP_LIMBS]
     # m = (t mod R') * N' mod R'
     m_conv = _dot_i8(nibbles_from_limbs(t_lo), jnp.asarray(NP))
-    m_norm = F._carry_norm(_fold_to_limbs(m_conv, RP_LIMBS),
+    m_norm = carry_norm_ks(_fold_to_limbs(m_conv, RP_LIMBS),
                            out_limbs=RP_LIMBS)  # drops carry -> mod R'
     # u = (t + m*p) / R'
     mp_conv = _dot_i8(nibbles_from_limbs(m_norm), jnp.asarray(P))
@@ -172,7 +207,7 @@ def reduce_wide(spec: F.FieldSpec, t_norm) -> jnp.ndarray:
                  + [(0, T - t_norm.shape[-1])])
          + jnp.pad(mp_l, [(0, 0)] * (mp_l.ndim - 1)
                    + [(0, T - mp_l.shape[-1])]))
-    u_norm = F._carry_norm(u, out_limbs=T)
+    u_norm = carry_norm_ks(u, out_limbs=T)
     r = u_norm[..., RP_LIMBS:RP_LIMBS + F.LIMBS]  # exact /R' (low limbs 0)
     return F._cond_sub_p(spec, r)
 
@@ -197,7 +232,7 @@ class FixedMul:
 
     def __call__(self, a) -> jnp.ndarray:
         conv = _dot_i8(nibbles_from_limbs(a), self._B)
-        t = F._carry_norm(_fold_to_limbs(conv, 2 * F.LIMBS),
+        t = carry_norm_ks(_fold_to_limbs(conv, 2 * F.LIMBS),
                           out_limbs=2 * F.LIMBS)
         return reduce_wide(self.spec, t)
 
@@ -239,7 +274,7 @@ class DftMatmul:
         conv = conv.reshape(*conv.shape[:-1], n, 2 * NIBS - 1)
         # t = sum_k x_k * w'_jk < N * p^2 can exceed 2^512 for N > 16:
         # carry-normalize into 33 limbs so no high bit is dropped.
-        t = F._carry_norm(_fold_to_limbs(conv, 2 * F.LIMBS + 1),
+        t = carry_norm_ks(_fold_to_limbs(conv, 2 * F.LIMBS + 1),
                           out_limbs=2 * F.LIMBS + 1)
         return reduce_wide(self.spec, t)
 
@@ -278,7 +313,7 @@ class BatchedDftMatmul:
             preferred_element_type=_I32)  # (g, batch, n*127)
         conv = jnp.moveaxis(conv, 0, 1).reshape(
             *lead, g, n, 2 * NIBS - 1)
-        t = F._carry_norm(_fold_to_limbs(conv, 2 * F.LIMBS + 1),
+        t = carry_norm_ks(_fold_to_limbs(conv, 2 * F.LIMBS + 1),
                           out_limbs=2 * F.LIMBS + 1)
         return reduce_wide(self.spec, t)
 

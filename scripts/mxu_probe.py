@@ -29,11 +29,13 @@ from halo2_aes_tpu.ops import mxu_field as MX
 
 
 def timed(fn, reps):
-    fn()  # compile + warm
+    np.asarray(fn()).ravel()[:1]  # compile + warm; forced transfer
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+    # block_until_ready is NOT a reliable sync over the axon tunnel
+    # (.claude/skills/verify): force a transfer before reading the timer.
+    np.asarray(out).ravel()[:1]
     return (time.perf_counter() - t0) / reps
 
 
